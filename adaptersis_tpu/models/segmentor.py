@@ -1,0 +1,151 @@
+"""AdapterSegmentor — frozen DINOv2 backbone + deformable cross-attention adapters +
+spatial-prior encoder + segmentation decoder, fused into ONE XLA program.
+
+This collapses the reference's per-step wiring (/root/reference/train.py:268-428):
+  1. deform_inputs geometry (train.py:275, adapter_blocks.py:24-38)
+  2. FeatureEncoder pyramid c1..c4; c2..c4 get level embeddings (train.py:279-283).
+     NOTE reference bug (SURVEY §2.12 #1): level_embed is re-created as zeros every
+     step (train.py:277) so it is a behavioral no-op; here it is a real zero-init
+     parameter — identical numerics at init, trainable thereafter.
+  3. clean frozen forward → last-4 block taps, final-LayerNormed patch tokens
+     (ModelWithIntermediateLayers, dinov2/eval/utils.py:30-44; train.py:287-298)
+  4. adapter re-walk: patch_embed WITHOUT cls/pos (train.py:300), blocks[0:-3], then
+     4 rounds of {cross_vit; cross_cnn; x += clean tap; next frozen block}
+     (train.py:306-387). The SAME CAViT/CACNN instances are shared across rounds.
+  5. decode from concat[adapter_out, center-padded c4, clean vit tap] (3×E channels)
+     → FeatureDecoder → bilinear resize to input size (train.py:390-422).
+
+The reference walks the frozen backbone twice per step (train.py:287 then :300-301);
+here both streams live in one jitted program so XLA schedules them together and
+shares the input pipeline.
+
+Gradient semantics: every frozen-block application and every clean tap is wrapped in
+stop_gradient — this matches the reference's `torch.no_grad()` blocks AND avoids
+backprop through the 24-block ViT (adapter gradients flow through the CNN stream
+`c`, exactly as in the reference). With `parity_frozen_head=True` the decoder input
+concat is ALSO stop-gradiented, reproducing the reference's accidental
+`torch.no_grad()` at train.py:389-406 under which only the decoder trains.
+
+`train_mla.py` variant (decoder_type='mla'): DecoderMLA consumes all four per-round
+outputs (train_mla.py wiring); `mla_last_block_bug=True` reproduces the reference
+copy-paste bug where round 4 re-runs blocks[-2:-1] instead of the final block
+(train_mla.py:339-341, SURVEY §2.12 #2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import center_pad, resize_bilinear
+from .adapters import CACNN, CAViT, adapter_geometry
+from .decoders import DecoderMLA, DecoderSETR, FeatureDecoder
+from .encoders import FeatureEncoder
+from .vit import DinoVisionTransformer
+
+Dtype = Any
+
+sg = jax.lax.stop_gradient
+
+
+class AdapterSegmentor(nn.Module):
+    backbone: DinoVisionTransformer
+    num_classes: int = 2
+    n_last_blocks: int = 4
+    decoder_type: str = "feature"        # "feature" | "mla" | "setr"
+    adapter_num_heads: int = 8
+    adapter_n_points: int = 4
+    parity_frozen_head: bool = False     # reproduce train.py:389-406 no_grad quirk
+    mla_last_block_bug: bool = False     # reproduce train_mla.py:339-341
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        E = self.backbone.embed_dim
+        self.encoder = FeatureEncoder(embed_dim=E, dtype=self.dtype)
+        self.cross_vit = CAViT(
+            dim=E, num_heads=self.adapter_num_heads, n_points=self.adapter_n_points,
+            n_levels=3, init_values=0.0, dtype=self.dtype,
+        )
+        self.cross_cnn = CACNN(
+            dim=E, num_heads=self.adapter_num_heads, n_points=self.adapter_n_points,
+            n_levels=1, with_cffn=True, cffn_ratio=0.25, dtype=self.dtype,
+        )
+        self.level_embed = self.param("level_embed", nn.initializers.zeros, (3, E), jnp.float32)
+        if self.decoder_type == "feature":
+            self.decoder = FeatureDecoder(num_classes=self.num_classes, dtype=self.dtype)
+        elif self.decoder_type == "mla":
+            self.decoder = DecoderMLA(num_classes=self.num_classes, dtype=self.dtype)
+        elif self.decoder_type == "setr":
+            self.decoder = DecoderSETR(out_channels=self.num_classes, dtype=self.dtype)
+        else:
+            raise ValueError(f"unknown decoder_type {self.decoder_type!r}")
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """x: NHWC float image in [0,1] (reference feeds img/255, tools/dataset.py:146).
+        Returns logits (B, H, W, num_classes)."""
+        B, H, W, _ = x.shape
+        p = self.backbone.patch_size
+        depth = self.backbone.depth
+        n = self.n_last_blocks
+        E = self.backbone.embed_dim
+        hp, wp = H // p, W // p
+
+        # ---- CNN spatial-prior pyramid (train.py:279-283) ----
+        c1, c2, c3, c4, cnn_shapes = self.encoder(x, train=train)
+        le = self.level_embed.astype(c2.dtype)
+        c2 = c2 + le[0]
+        c3 = c3 + le[1]
+        c4 = c4 + le[2]
+        c = jnp.concatenate([c2, c3, c4], axis=1)
+        # geometry from the *actual* encoder grids (== reference h//8..h//32 at 588)
+        (ref1, shapes1), (ref2, shapes2) = adapter_geometry((hp, wp), cnn_shapes)
+
+        # ---- clean frozen forward → last-n normed patch-token taps (train.py:287-298)
+        tokens, _ = self.backbone.embed(x, with_pos_cls=True)
+        tap_idx = list(range(depth - n, depth))
+        raw_taps = self.backbone.collect_block_outputs(tokens, tap_idx, remat_untapped=train)
+        taps = [sg(self.backbone.final_norm(t)[:, 1:]) for t in raw_taps]
+
+        # ---- adapter re-walk: no cls, no pos embed (train.py:300-301) ----
+        xa, _ = self.backbone.embed(x, with_pos_cls=False)
+        xa = sg(self.backbone.run_blocks(xa, 0, depth - (n - 1), remat=train))
+
+        round_outputs = []
+        for r in range(n):
+            if r > 0:
+                blk_i = depth - n + r
+                if self.mla_last_block_bug and r == n - 1:
+                    blk_i = depth - 2  # train_mla.py:339-341 re-runs blocks[-2:-1]
+                xa = sg(self.backbone.run_blocks(xa, blk_i, blk_i + 1))
+            xa = self.cross_vit(xa, ref1, c, shapes1)
+            c = self.cross_cnn(c, ref2, xa, shapes2, query_level_shapes=shapes1)
+            xa = xa + taps[r]
+            round_outputs.append(xa)
+
+        out_adapter = round_outputs[-1]
+        out_vit = taps[-1]
+
+        def to_map(t: jax.Array, h_: int, w_: int) -> jax.Array:
+            return t.reshape(B, h_, w_, E)
+
+        if self.decoder_type == "mla":
+            # train_mla.py feeds the four per-round outputs to DecoderMLA
+            maps = [to_map(o, hp, wp) for o in round_outputs]
+            if self.parity_frozen_head:
+                maps = [sg(m) for m in maps]
+            logits = self.decoder(*maps, train=train)
+        else:
+            h32, w32 = shapes1[2]
+            c4_map = center_pad(to_map(c4, h32, w32), (hp, wp))
+            feat = jnp.concatenate(
+                [to_map(out_adapter, hp, wp), c4_map, to_map(out_vit, hp, wp)], axis=-1
+            )
+            if self.parity_frozen_head:
+                feat = sg(feat)  # reference train.py:389-406 accidental no_grad
+            logits = self.decoder(feat, train=train)
+
+        logits = resize_bilinear(logits.astype(jnp.float32), (H, W), align_corners=False)
+        return logits

@@ -1,0 +1,206 @@
+"""DINOv2 Vision Transformer backbone in Flax (TPU-first rebuild).
+
+Parity targets (reference: /root/reference/dinov2/models/vision_transformer.py):
+  * cls token + learned pos embed with bicubic interpolation to arbitrary
+    resolution (:164-188). The reference's "+0.1" scale-factor fudge only exists to
+    make torch's floor(size*scale) land on the right integer; jax.image.resize takes
+    the output shape directly so the fudge is unnecessary — same target grid.
+  * get_intermediate_layers(x, n, reshape, return_class_token, norm) (:263-287):
+    outputs of the last n blocks, optionally final-LayerNormed; this is the feature
+    tap every trainer builds on (dinov2/eval/utils.py:30-44).
+  * factories vit_small(384/12/6), vit_base(768/12/12), vit_large(1024/24/16),
+    vit_giant2(1536/40/24, SwiGLU fused) (:305-357); DINOv2 uses patch 14,
+    img_size 518 → 37×37 pos grid (dinov2/configs/*_pretrain.yaml).
+
+TPU deltas: NHWC input, static shapes per (imsize, arch) jit cache, fine-grained
+`embed`/`run_blocks`/`final_norm` methods so the adapter segmentor can interleave
+adapter blocks between the last ViT blocks *inside one XLA program* (the reference
+walks the backbone twice per step, train.py:287-301).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import resize_bicubic
+from .layers import Block, PatchEmbed, trunc_normal_init
+
+Dtype = Any
+
+
+class DinoVisionTransformer(nn.Module):
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    ffn_layer: str = "mlp"
+    init_values: float = 1e-5
+    num_register_tokens: int = 0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.patch_embed = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype)
+        self.cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, self.embed_dim), jnp.float32)
+        n_base = (self.img_size // self.patch_size) ** 2
+        self.pos_embed = self.param(
+            "pos_embed", trunc_normal_init(0.02), (1, n_base + 1, self.embed_dim), jnp.float32
+        )
+        if self.num_register_tokens:
+            self.register_tokens = self.param(
+                "register_tokens", nn.initializers.zeros, (1, self.num_register_tokens, self.embed_dim), jnp.float32
+            )
+        self.blocks = [
+            Block(
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                self.init_values,
+                self.ffn_layer,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm")
+
+    # ---- pieces (used by the adapter segmentor to build one fused program) ----
+
+    def interpolate_pos_encoding(self, hp: int, wp: int) -> jax.Array:
+        """Bicubic-resize the patch pos-embed grid to (hp, wp). Returns (1, 1+hp*wp, C).
+
+        Reference: dinov2/models/vision_transformer.py:164-188.
+        """
+        pe = self.pos_embed.astype(jnp.float32)
+        cls_pe, patch_pe = pe[:, :1], pe[:, 1:]
+        m = int(round(patch_pe.shape[1] ** 0.5))
+        if (hp, wp) == (m, m):
+            return pe
+        grid = patch_pe.reshape(1, m, m, self.embed_dim)
+        # torch bicubic kernel (a=-0.75) AND the reference's scale-factor fudge
+        # sx=(hp+0.1)/m (vision_transformer.py:164-188) — both shift numerics and
+        # are required for checkpoint parity at non-native resolutions
+        grid = resize_bicubic(grid, (hp, wp), scales=((hp + 0.1) / m, (wp + 0.1) / m))
+        return jnp.concatenate([cls_pe, grid.reshape(1, hp * wp, self.embed_dim)], axis=1)
+
+    def embed(self, x: jax.Array, with_pos_cls: bool = True) -> Tuple[jax.Array, Tuple[int, int]]:
+        """Patch-embed NHWC input. with_pos_cls=False reproduces the reference's
+        adapter re-walk, which runs `model.patch_embed(inp)` with *no* cls token and
+        *no* positional embedding (train.py:300-301)."""
+        tokens, (hp, wp) = self.patch_embed(x)
+        if not with_pos_cls:
+            return tokens, (hp, wp)
+        B = tokens.shape[0]
+        cls = jnp.broadcast_to(self.cls_token.astype(tokens.dtype), (B, 1, self.embed_dim))
+        tokens = jnp.concatenate([cls, tokens], axis=1)
+        tokens = tokens + self.interpolate_pos_encoding(hp, wp).astype(tokens.dtype)
+        if self.num_register_tokens:
+            reg = jnp.broadcast_to(self.register_tokens.astype(tokens.dtype), (B, self.num_register_tokens, self.embed_dim))
+            tokens = jnp.concatenate([tokens[:, :1], reg, tokens[:, 1:]], axis=1)
+        return tokens, (hp, wp)
+
+    def run_blocks(self, x: jax.Array, start: int, stop: int, remat: bool = False) -> jax.Array:
+        """Apply blocks[start:stop]. Python-level loop — XLA sees a flat program."""
+        for blk in self.blocks[start:stop]:
+            if remat:
+                x = nn.remat(lambda m, y: m(y))(blk, x)
+            else:
+                x = blk(x)
+        return x
+
+    def collect_block_outputs(self, x: jax.Array, taps: Sequence[int], remat_untapped: bool = False) -> List[jax.Array]:
+        """Run all blocks, returning the (un-normed) outputs of block indices `taps`."""
+        out = []
+        want = set(taps)
+        for i, blk in enumerate(self.blocks):
+            if remat_untapped and i not in want:
+                x = nn.remat(lambda m, y: m(y))(blk, x)
+            else:
+                x = blk(x)
+            if i in want:
+                out.append(x)
+        return out
+
+    def final_norm(self, x: jax.Array) -> jax.Array:
+        return self.norm(x)
+
+    # ---- public forward APIs ----
+
+    def __call__(self, x: jax.Array) -> dict:
+        """Full forward. Returns the reference's output dict fields
+        (dinov2/models/vision_transformer.py:201-218)."""
+        tokens, _ = self.embed(x, with_pos_cls=True)
+        tokens = self.run_blocks(tokens, 0, self.depth)
+        normed = self.final_norm(tokens)
+        r = self.num_register_tokens
+        return {
+            "x_norm_clstoken": normed[:, 0],
+            "x_norm_regtokens": normed[:, 1 : 1 + r],
+            "x_norm_patchtokens": normed[:, 1 + r :],
+            "x_prenorm": tokens,
+        }
+
+    def get_intermediate_layers(
+        self,
+        x: jax.Array,
+        n: int = 1,
+        reshape: bool = False,
+        return_class_token: bool = False,
+        norm: bool = True,
+    ):
+        """Last-n block outputs, the universal feature tap
+        (dinov2/models/vision_transformer.py:263-287)."""
+        tokens, (hp, wp) = self.embed(x, with_pos_cls=True)
+        taps = list(range(self.depth - n, self.depth))
+        outs = self.collect_block_outputs(tokens, taps)
+        if norm:
+            outs = [self.final_norm(o) for o in outs]
+        r = self.num_register_tokens
+        cls_toks = [o[:, 0] for o in outs]
+        patch_toks = [o[:, 1 + r :] for o in outs]
+        if reshape:
+            B = x.shape[0]
+            patch_toks = [p.reshape(B, hp, wp, self.embed_dim) for p in patch_toks]
+        if return_class_token:
+            return tuple(zip(patch_toks, cls_toks))
+        return tuple(patch_toks)
+
+
+# ---- factories (dinov2/models/vision_transformer.py:305-357) ----
+
+def vit_small(**kw) -> DinoVisionTransformer:
+    return DinoVisionTransformer(embed_dim=384, depth=12, num_heads=6, **kw)
+
+
+def vit_base(**kw) -> DinoVisionTransformer:
+    return DinoVisionTransformer(embed_dim=768, depth=12, num_heads=12, **kw)
+
+
+def vit_large(**kw) -> DinoVisionTransformer:
+    return DinoVisionTransformer(embed_dim=1024, depth=24, num_heads=16, **kw)
+
+
+def vit_giant2(**kw) -> DinoVisionTransformer:
+    return DinoVisionTransformer(embed_dim=1536, depth=40, num_heads=24, ffn_layer="swiglufused", **kw)
+
+
+ARCHS = {
+    "vit_small": vit_small,
+    "vit_base": vit_base,
+    "vit_large": vit_large,
+    "vit_giant2": vit_giant2,
+    # DINO-v1 aliases accepted by the reference CLI (--arch vit_small/vit_base)
+    "vit_tiny": partial(DinoVisionTransformer, embed_dim=192, depth=12, num_heads=3),
+}
+
+
+def build_backbone(arch: str, img_size: int = 518, patch_size: int = 14, dtype: Dtype = jnp.float32, **kw) -> DinoVisionTransformer:
+    if arch not in ARCHS:
+        raise ValueError(f"unknown arch {arch!r}; choose from {sorted(ARCHS)}")
+    return ARCHS[arch](img_size=img_size, patch_size=patch_size, dtype=dtype, **kw)

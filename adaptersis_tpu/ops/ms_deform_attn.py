@@ -1,0 +1,192 @@
+"""Multi-scale deformable attention, TPU-native.
+
+This is the single most performance-critical op in the framework (reference:
+/root/reference/backbones/ops/modules/ms_deform_attn.py; the PyTorch repo ships only a
+grid_sample fallback, :33-54, and points at the Deformable-DETR CUDA kernel as the
+production path, :34-35).
+
+Math (identical to the reference):
+  for each query q, head m, level l, point p:
+    loc   = reference_point[q, l] + offset[q, m, l, p] / (W_l, H_l)         (:161-166)
+    # grid_sample(align_corners=False, padding zeros) with grid = 2*loc - 1 (:39,47-49)
+    x_pix = loc_x * W_l - 0.5 ; y_pix = loc_y * H_l - 0.5
+    tap   = bilinear(value_l[m], x_pix, y_pix)  (zeros outside)
+  out[q, m] = sum_{l,p} softmax_weights[q, m, l, p] * tap
+
+TPU formulation: instead of grid_sample, we precompute the 4 integer corner ids +
+weights and express the sample as `take_along_axis` over the flattened level buffer,
+followed by an einsum reduce — everything maps to VPU gathers + MXU-friendly
+contractions, all statically shaped. A fused Pallas kernel (ops/pallas/) can be
+swapped in behind the same function signature.
+
+The reference forces this op to fp32 under AMP (custom_fwd(cast_inputs=float32),
+:19); we do the same by upcasting inside `ms_deform_attn_core`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _bilinear_gather_level(
+    value_l: jax.Array,   # (B, H*W, M, D) fp32
+    loc: jax.Array,       # (B, Lq, M, P, 2) in [0,1], fp32
+    H: int,
+    W: int,
+) -> jax.Array:
+    """grid_sample(bilinear, zeros, align_corners=False) as corner gathers.
+
+    Returns (B, Lq, M, P, D).
+    """
+    B, S, M, D = value_l.shape
+    _, Lq, _, P, _ = loc.shape
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # (B, M, S, D) so the gather axis is contiguous per (batch, head)
+    v = value_l.transpose(0, 2, 1, 3)
+
+    def corner(xi: jax.Array, yi: jax.Array, w: jax.Array) -> jax.Array:
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)  # (B, Lq, M, P)
+        idx_bm = idx.transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
+        g = jnp.take_along_axis(v, idx_bm[..., None], axis=2)      # (B, M, Lq*P, D)
+        g = g.reshape(B, M, Lq, P, D).transpose(0, 2, 1, 3, 4)
+        return g * (w * valid.astype(w.dtype))[..., None]
+
+    out = corner(x0i, y0i, (1 - tx) * (1 - ty))
+    out = out + corner(x0i + 1, y0i, tx * (1 - ty))
+    out = out + corner(x0i, y0i + 1, (1 - tx) * ty)
+    out = out + corner(x0i + 1, y0i + 1, tx * ty)
+    return out
+
+
+def ms_deform_attn_core(
+    value: jax.Array,                       # (B, S_total, M, D)
+    spatial_shapes: Sequence[Tuple[int, int]],  # static [(H, W), ...]
+    sampling_locations: jax.Array,          # (B, Lq, M, L, P, 2) in [0,1]
+    attention_weights: jax.Array,           # (B, Lq, M, L, P), softmaxed over L*P
+) -> jax.Array:
+    """Reference math of ms_deform_attn_core_pytorch (:33-54), XLA-gather form.
+
+    Returns (B, Lq, M*D). Computation in fp32 (reference AMP boundary, :19).
+    """
+    in_dtype = value.dtype
+    value = value.astype(jnp.float32)
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+
+    B, S, M, D = value.shape
+    Lq = sampling_locations.shape[1]
+    out = jnp.zeros((B, Lq, M, D), jnp.float32)
+    start = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v_l = jax.lax.dynamic_slice_in_dim(value, start, H * W, axis=1)
+        sampled = _bilinear_gather_level(v_l, sampling_locations[:, :, :, lvl], H, W)
+        out = out + jnp.einsum("blmpd,blmp->blmd", sampled, attention_weights[:, :, :, lvl])
+        start += H * W
+    assert start == S, f"sum of spatial shapes {start} != value length {S}"
+    return out.reshape(B, Lq, M * D).astype(in_dtype)
+
+
+def _directional_offset_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
+    """Reference sampling_offsets bias init: unit directions scaled by point index
+    (ms_deform_attn.py:100-112)."""
+    thetas = np.arange(n_heads, dtype=np.float64) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid.reshape(n_heads, 1, 1, 2), (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1).astype(np.float32)
+
+
+class MSDeformAttn(nn.Module):
+    """Deformable attention module (reference MSDeformAttn, ms_deform_attn.py:63-185).
+
+    `spatial_shapes` must be static python ints — on TPU each (imsize, arch) pair is
+    its own jit specialization; the reference's runtime shape tensors
+    (input_spatial_shapes) become compile-time constants.
+    """
+
+    d_model: int = 256
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    ratio: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,                        # (B, Lq, C)
+        reference_points: jax.Array,             # (B, Lq, n_levels, 2) in [0,1]
+        input_flatten: jax.Array,                # (B, S_total, C)
+        spatial_shapes: Sequence[Tuple[int, int]],
+    ) -> jax.Array:
+        if self.d_model % self.n_heads:
+            raise ValueError(f"d_model {self.d_model} not divisible by n_heads {self.n_heads}")
+        d_value = int(self.d_model * self.ratio)
+        B, Lq, _ = query.shape
+        S = input_flatten.shape[1]
+        assert sum(h * w for h, w in spatial_shapes) == S, (spatial_shapes, S)
+
+        value = nn.Dense(
+            d_value,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=jnp.float32, name="value_proj",
+        )(input_flatten)
+        value = value.reshape(B, S, self.n_heads, d_value // self.n_heads)
+
+        offsets = nn.Dense(
+            self.n_heads * self.n_levels * self.n_points * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *_: jnp.asarray(
+                _directional_offset_bias(self.n_heads, self.n_levels, self.n_points)
+            ),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="sampling_offsets",
+        )(query).reshape(B, Lq, self.n_heads, self.n_levels, self.n_points, 2)
+
+        weights = nn.Dense(
+            self.n_heads * self.n_levels * self.n_points,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="attention_weights",
+        )(query).reshape(B, Lq, self.n_heads, self.n_levels * self.n_points)
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1).reshape(
+            B, Lq, self.n_heads, self.n_levels, self.n_points
+        )
+
+        # normalize offsets by (W_l, H_l) and add to per-level reference points (:161-166)
+        normalizer = jnp.asarray([(w, h) for h, w in spatial_shapes], jnp.float32)  # (L, 2)
+        locations = (
+            reference_points[:, :, None, :, None, :].astype(jnp.float32)
+            + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
+        )
+
+        out = ms_deform_attn_core(value, spatial_shapes, locations, weights)
+        return nn.Dense(
+            self.d_model,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=jnp.float32, name="output_proj",
+        )(out.astype(self.dtype))
