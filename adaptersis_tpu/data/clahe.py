@@ -1,0 +1,167 @@
+"""On-device CLAHE (Contrast Limited Adaptive Histogram Equalization).
+
+Reproduces albumentations A.CLAHE(clip_limit=4.0, tile_grid_size=(8,8))
+(reference pipeline train.py:160): for RGB input, convert to LAB, run cv2-style
+CLAHE on the L channel, convert back.
+
+cv2 CLAHE semantics implemented (all static shapes, XLA-friendly):
+  * image padded to a tile multiple with BORDER_REFLECT_101
+  * per-tile 256-bin histogram (scatter-add), clip at
+    max(int(clip*tileArea/256), 1), excess redistributed: floor(excess/256) to all
+    bins + residual dripped at stride max(256//residual, 1)
+  * LUT = round(cdf * 255/tileArea); output bilinearly interpolates the 4
+    neighboring tile LUTs per pixel.
+
+This was a "hard part" in SURVEY.md §7 — histogram + cumsum per tile + bilinear
+tile interpolation expressed as gathers; no host round-trip (the reference runs
+this on CPU workers per image).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# D65 sRGB↔XYZ (OpenCV constants)
+_RGB2XYZ = jnp.asarray(
+    [[0.412453, 0.357580, 0.180423],
+     [0.212671, 0.715160, 0.072169],
+     [0.019334, 0.119193, 0.950227]], jnp.float32
+)
+_XYZ2RGB = jnp.linalg.inv(_RGB2XYZ)
+_WHITE = jnp.asarray([0.950456, 1.0, 1.088754], jnp.float32)
+
+
+def _f_lab(t):
+    return jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+
+def _srgb_to_linear(x):
+    return jnp.where(x <= 0.04045, x / 12.92, jnp.power((x + 0.055) / 1.055, 2.4))
+
+
+def _linear_to_srgb(x):
+    x = jnp.maximum(x, 0.0)
+    return jnp.where(x <= 0.0031308, x * 12.92, 1.055 * jnp.power(x, 1.0 / 2.4) - 0.055)
+
+
+def rgb_to_lab(rgb01: jax.Array) -> jax.Array:
+    """float RGB in [0,1] → (L in [0,100], a/b unshifted). cv2 8U Lab applies sRGB
+    gamma linearization first (verified in tests vs cv2.cvtColor)."""
+    rgb01 = _srgb_to_linear(rgb01)
+    xyz = jnp.einsum("...c,kc->...k", rgb01, _RGB2XYZ) / _WHITE
+    fx, fy, fz = _f_lab(xyz[..., 0]), _f_lab(xyz[..., 1]), _f_lab(xyz[..., 2])
+    y = xyz[..., 1]
+    L = jnp.where(y > 0.008856, 116.0 * jnp.cbrt(y) - 16.0, 903.3 * y)
+    a = 500.0 * (fx - fy)
+    b = 200.0 * (fy - fz)
+    return jnp.stack([L, a, b], axis=-1)
+
+
+def lab_to_rgb(lab: jax.Array) -> jax.Array:
+    L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def inv_f(f):
+        t3 = f**3
+        return jnp.where(t3 > 0.008856, t3, (f - 16.0 / 116.0) / 7.787)
+
+    y = jnp.where(L > 903.3 * 0.008856, fy**3, L / 903.3)
+    xyz = jnp.stack([inv_f(fx), y, inv_f(fz)], axis=-1) * _WHITE
+    rgb = jnp.einsum("...k,ck->...c", xyz, _XYZ2RGB)
+    return jnp.clip(_linear_to_srgb(rgb), 0.0, 1.0)
+
+
+def _reflect101_pad(x: jax.Array, ph: int, pw: int) -> jax.Array:
+    if ph == 0 and pw == 0:
+        return x
+    return jnp.pad(x, ((0, ph), (0, pw)), mode="reflect")
+
+
+def clahe_channel(img: jax.Array, clip_limit: float = 4.0, tiles: int = 8) -> jax.Array:
+    """CLAHE on a single uint8 channel (H, W) → uint8."""
+    H, W = img.shape
+    if H % tiles == 0 and W % tiles == 0:
+        pad_h = pad_w = 0
+    else:
+        # cv2 quirk: when ANY dim is non-divisible, BOTH dims get
+        # `tiles - (dim % tiles)` of padding — a full extra tile-row/col when the
+        # dim was already divisible (OpenCV clahe.cpp copyMakeBorder call).
+        pad_h = tiles - (H % tiles)
+        pad_w = tiles - (W % tiles)
+    th = (H + pad_h) // tiles
+    tw = (W + pad_w) // tiles
+    x = _reflect101_pad(img, pad_h, pad_w)
+    area = th * tw
+    T = tiles * tiles
+
+    # per-tile histograms via scatter-add
+    tiled = x.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3).reshape(T, area)
+    hist = jnp.zeros((T, 256), jnp.float32)
+    tid = jnp.broadcast_to(jnp.arange(T)[:, None], (T, area))
+    hist = hist.at[tid.reshape(-1), tiled.reshape(-1).astype(jnp.int32)].add(1.0)
+
+    # clip + redistribute (cv2 semantics, integer arithmetic in float)
+    clip = jnp.maximum(jnp.floor(clip_limit * area / 256.0), 1.0)
+    clipped = jnp.minimum(hist, clip)
+    excess = jnp.sum(hist - clipped, axis=1, keepdims=True)          # (T, 1)
+    redist = jnp.floor(excess / 256.0)
+    residual = excess - redist * 256.0
+    clipped = clipped + redist
+    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(residual, 1.0)), 1.0)
+    i = jnp.arange(256, dtype=jnp.float32)[None, :]
+    drip = ((jnp.mod(i, step) == 0) & (i / step < residual)).astype(jnp.float32)
+    clipped = clipped + drip
+
+    # LUT per tile
+    cdf = jnp.cumsum(clipped, axis=1)
+    lut = jnp.clip(jnp.round(cdf * (255.0 / area)), 0, 255)         # (T, 256)
+    lut = lut.reshape(tiles, tiles, 256)
+
+    # bilinear interpolation of the 4 neighboring tile LUTs
+    Hp, Wp = x.shape
+    ty = jnp.arange(Hp, dtype=jnp.float32) / th - 0.5
+    tx = jnp.arange(Wp, dtype=jnp.float32) / tw - 0.5
+    ty0 = jnp.floor(ty)
+    tx0 = jnp.floor(tx)
+    ay = (ty - ty0)[:, None]
+    ax = (tx - tx0)[None, :]
+    y0 = jnp.clip(ty0, 0, tiles - 1).astype(jnp.int32)
+    y1 = jnp.clip(ty0 + 1, 0, tiles - 1).astype(jnp.int32)
+    x0 = jnp.clip(tx0, 0, tiles - 1).astype(jnp.int32)
+    x1 = jnp.clip(tx0 + 1, 0, tiles - 1).astype(jnp.int32)
+
+    v = x.astype(jnp.int32)
+
+    def sample(yi, xi):
+        # lut[yi[h], xi[w], v[h,w]] — gather via flattened index
+        flat = lut.reshape(T, 256)
+        tidx = yi[:, None] * tiles + xi[None, :]
+        return flat[tidx.reshape(-1), v.reshape(-1)].reshape(Hp, Wp)
+
+    out = (
+        sample(y0, x0) * (1 - ay) * (1 - ax)
+        + sample(y0, x1) * (1 - ay) * ax
+        + sample(y1, x0) * ay * (1 - ax)
+        + sample(y1, x1) * ay * ax
+    )
+    out = jnp.round(out).astype(jnp.uint8)
+    return out[:H, :W]
+
+
+@partial(jax.jit, static_argnames=("clip_limit", "tiles"))
+def clahe_rgb(images: jax.Array, clip_limit: float = 4.0, tiles: int = 8) -> jax.Array:
+    """Batched uint8 RGB (B, H, W, 3) → CLAHE-on-L uint8 RGB (albumentations
+    A.CLAHE semantics for color images)."""
+    rgb01 = images.astype(jnp.float32) / 255.0
+    lab = rgb_to_lab(rgb01)
+    L8 = jnp.round(jnp.clip(lab[..., 0] * 255.0 / 100.0, 0, 255)).astype(jnp.uint8)
+    L8_eq = jax.vmap(lambda im: clahe_channel(im, clip_limit, tiles))(L8)
+    L_new = L8_eq.astype(jnp.float32) * 100.0 / 255.0
+    lab_new = jnp.stack([L_new, lab[..., 1], lab[..., 2]], axis=-1)
+    rgb = lab_to_rgb(lab_new)
+    return jnp.round(rgb * 255.0).astype(jnp.uint8)

@@ -1,0 +1,180 @@
+"""The single trainer — replaces the reference's nine ~80%-identical entry scripts
+(train.py / train_mla.py / train_multi_class.py / eval/*.py, SURVEY §1) with one
+loop parameterized by (arch, decoder, dataset, loss).
+
+TPU-first structure:
+  * ONE jitted train step: on-device augmentation → fused segmentor forward
+    (backbone streams + adapters + decoder in one XLA program) → loss → grads of
+    the trainable subtree only → SGD update. Donated state buffers.
+  * GSPMD data parallelism: batch sharded over the mesh "data" axis, trainables
+    replicated; gradient all-reduce and SyncBN statistics are XLA-inserted
+    collectives over ICI (reference: DDP + SyncBatchNorm + NCCL).
+  * frozen ViT params can be FSDP-sharded over the "fsdp" axis.
+
+Reference recipe preserved: SGD(momentum=0.99, wd=3e-5) on adapters+encoder+
+decoder, CosineAnnealingLR stepped per epoch (train.py:178-192), Softmax→DC dice
+train loss (train.py:424-428), weighted-CE[0.1,10]+dice+acc1 validation
+(train.py:616-647).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data.augment import train_augment, val_preprocess
+from ..losses import LOSSES, dc_loss, pixel_accuracy, weighted_ce_pair
+from ..models.segmentor import AdapterSegmentor
+from ..parallel.mesh import fsdp_shard_params, get_mesh, replicate_tree, shard_batch
+from .schedules import cosine_annealing
+
+
+@dataclass
+class TrainerConfig:
+    lr: float = 0.01
+    epochs: int = 100
+    momentum: float = 0.99
+    weight_decay: float = 3e-5
+    loss: str = "dc"
+    trainer_softmax: bool = True   # reference applies Softmax before DC (train.py:424)
+    use_clahe: bool = True
+    fsdp: int = 1
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(self, model: AdapterSegmentor, config: TrainerConfig,
+                 mesh=None, pretrained_backbone: Optional[Dict[str, Any]] = None):
+        self.model = model
+        self.cfg = config
+        self.mesh = mesh if mesh is not None else get_mesh(fsdp=config.fsdp)
+        self.lr_fn = cosine_annealing(config.lr, config.epochs)
+        self.loss_fn = LOSSES[config.loss]
+        self._pretrained_backbone = pretrained_backbone
+        self._train_step = None
+        self._eval_step = None
+
+    # ---- state ----
+
+    def init_state(self, sample_batch: Tuple[np.ndarray, np.ndarray]) -> Dict[str, Any]:
+        imgs, _ = sample_batch
+        x = jnp.zeros(imgs.shape[:3] + (3,), jnp.float32)
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(self.cfg.seed), x, train=False
+        )
+        params = dict(variables["params"])
+        frozen = {"backbone": params.pop("backbone")}
+        if self._pretrained_backbone is not None:
+            frozen = {"backbone": jax.tree_util.tree_map(jnp.asarray, self._pretrained_backbone)}
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = {
+            "params": params,
+            "frozen": frozen,
+            "batch_stats": batch_stats,
+            "opt_state": opt_state,
+            "epoch": jnp.zeros((), jnp.int32),
+            "best_acc": jnp.zeros((), jnp.float32),
+        }
+        return self.shard_state(state)
+
+    def shard_state(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        state = dict(state)
+        for k in ("params", "batch_stats", "opt_state", "epoch", "best_acc"):
+            state[k] = replicate_tree(state[k], self.mesh)
+        state["frozen"] = fsdp_shard_params(state["frozen"], self.mesh)
+        return state
+
+    @functools.cached_property
+    def tx(self) -> optax.GradientTransformation:
+        # torch SGD semantics: g += wd*p, buf = mom*buf + g, p -= lr*buf
+        return optax.chain(
+            optax.add_decayed_weights(self.cfg.weight_decay),
+            optax.trace(decay=self.cfg.momentum),
+            optax.scale(-1.0),
+        )
+
+    # ---- steps ----
+
+    def _build_train_step(self):
+        cfg = self.cfg
+        model = self.model
+        loss_fn = self.loss_fn
+        tx = self.tx
+
+        def step(state, images_u8, masks, rng, lr):
+            aug_imgs, aug_masks = train_augment(
+                images_u8, masks, rng, use_clahe=cfg.use_clahe
+            )
+
+            def loss_of(params):
+                variables = {
+                    "params": {**params, **state["frozen"]},
+                    "batch_stats": state["batch_stats"],
+                }
+                logits, mut = model.apply(
+                    variables, aug_imgs, train=True, mutable=["batch_stats"]
+                )
+                out = jax.nn.softmax(logits, axis=-1) if cfg.trainer_softmax else logits
+                return loss_fn(out, aug_masks), mut["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state["params"])
+            updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + lr * u, state["params"], updates
+            )
+            new_state = {**state, "params": new_params, "opt_state": new_opt,
+                         "batch_stats": new_stats}
+            return new_state, loss
+
+        data_sh = NamedSharding(self.mesh, P("data"))
+        rep = NamedSharding(self.mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(None, data_sh, data_sh, rep, rep),
+            donate_argnums=(0,),
+        )
+
+    def _build_eval_step(self):
+        model = self.model
+
+        def step(state, images_u8, masks):
+            x = val_preprocess(images_u8)
+            variables = {
+                "params": {**state["params"], **state["frozen"]},
+                "batch_stats": state["batch_stats"],
+            }
+            logits = model.apply(variables, x, train=False)
+            probs = jax.nn.softmax(logits, axis=-1)
+            loss = weighted_ce_pair(logits, masks) if logits.shape[-1] == 2 else \
+                jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, masks))
+            dice = 1.0 - dc_loss(probs, masks)        # reference: dice = 1 - DC (:618)
+            acc1 = pixel_accuracy(logits, masks)
+            preds = jnp.argmax(logits, axis=-1)
+            return {"loss": loss, "dice": dice, "acc1": acc1}, preds
+
+        data_sh = NamedSharding(self.mesh, P("data"))
+        return jax.jit(step, in_shardings=(None, data_sh, data_sh))
+
+    # ---- public API ----
+
+    def train_step(self, state, images_u8: np.ndarray, masks: np.ndarray,
+                   rng, epoch: int):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        images_u8, masks = shard_batch((images_u8, masks), self.mesh)
+        lr = jnp.asarray(self.lr_fn(epoch), jnp.float32)
+        return self._train_step(state, images_u8, masks, rng, lr)
+
+    def eval_step(self, state, images_u8: np.ndarray, masks: np.ndarray):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        images_u8, masks = shard_batch((images_u8, masks), self.mesh)
+        return self._eval_step(state, images_u8, masks)

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline benchmark: ViT-L/14 @ 588px adapter-segmentation TRAIN step throughput
+(images/sec/chip) on the attached TPU — the reference recipe's hot loop
+(train.py:268-441, README.md:31-44: ViT-L/14 config, imsize 588, bs 12-16).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
+denominator is A100_EST_IMG_S — an engineering estimate of the reference PyTorch
+pipeline on one A100 (ViT-L/14@588, bs12, AMP, grid_sample deformable-attn
+fallback, frozen backbone walked twice per step). Documented in BASELINE.md;
+replace with a measured number when A100 hardware is available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_EST_IMG_S = 10.0  # see module docstring
+BATCH = 8
+IMSIZE = 588
+STEPS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from adaptersis_tpu.models import AdapterSegmentor, build_backbone
+    from adaptersis_tpu.parallel.mesh import get_mesh
+    from adaptersis_tpu.train import Trainer, TrainerConfig
+
+    n_chips = jax.device_count()
+    backbone = build_backbone("vit_large", img_size=518, patch_size=14, dtype=jnp.bfloat16)
+    model = AdapterSegmentor(backbone=backbone, num_classes=2, n_last_blocks=4,
+                             dtype=jnp.bfloat16)
+    trainer = Trainer(model, TrainerConfig(loss="dc", use_clahe=True),
+                      mesh=get_mesh(fsdp=1))
+
+    batch = BATCH * n_chips
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (batch, IMSIZE, IMSIZE, 3), np.uint8)
+    masks = (rng.uniform(size=(batch, IMSIZE, IMSIZE)) > 0.8).astype(np.int32)
+
+    state = trainer.init_state((imgs, masks))
+    key = jax.random.PRNGKey(0)
+
+    # warmup + compile
+    state, loss = trainer.train_step(state, imgs, masks, key, epoch=0)
+    float(loss)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        key, k = jax.random.split(key)
+        state, loss = trainer.train_step(state, imgs, masks, k, epoch=0)
+    float(loss)
+    dt = time.perf_counter() - t0
+
+    img_s_chip = batch * STEPS / dt / n_chips
+    print(json.dumps({
+        "metric": "vitl14_588_adapter_train_images_per_sec_per_chip",
+        "value": round(img_s_chip, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s_chip / A100_EST_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

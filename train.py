@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Adapter segmentation trainer — TPU-native rebuild of the reference train.py.
+
+The reference CLI surface (train.py:654-684) is preserved verbatim; new flags
+(--decoder/--dataset/--loss/--synthetic/--num_classes/...) default to reference
+behavior. The nine copy-paste entry scripts of the reference collapse into this one
+trainer: `--decoder mla` ≙ train_mla.py, `--num_classes 8 --loss iou_multi` ≙
+train_multi_class.py, `--decoder setr` ≙ eval/eval_dinov2_setr.py, etc.
+
+Single- and multi-chip paths are ONE code path: the mesh covers however many
+devices exist (the reference needed torch.distributed.launch + DDP, README.md:49).
+
+Examples:
+  python train.py --arch vit_large --patch_size 14 --imsize 588 \\
+      --pretrained_weights dinov2_vitl14.pth --data_path /data/robomis \\
+      --epochs 500 --lr 0.01 --batch_size_per_gpu 12
+  python train.py --synthetic --imsize 140 --arch vit_small --epochs 1   # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("adapter-seg", add_help=True)
+    # ---- reference flag surface, verbatim (train.py:654-684) ----
+    p.add_argument("--n_last_blocks", default=4, type=int,
+                   help="Concatenate [CLS] tokens for the n last blocks.")
+    p.add_argument("--avgpool_patchtokens", default=False, type=bool)
+    p.add_argument("--arch", default="vit_small", type=str)
+    p.add_argument("--patch_size", default=16, type=int)
+    p.add_argument("--imsize", default=224, type=int)
+    p.add_argument("--pretrained_weights", default="", type=str)
+    p.add_argument("--checkpoint_key", default="teacher", type=str)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--lr", default=0.01, type=float)
+    p.add_argument("--batch_size_per_gpu", default=16, type=int)
+    p.add_argument("--dist_url", default="env://", type=str)
+    p.add_argument("--local-rank", "--local_rank", default=0, type=int, dest="local_rank")
+    p.add_argument("--data_path", default="/path/to/imagenet/", type=str)
+    p.add_argument("--num_workers", default=10, type=int)
+    p.add_argument("--val_freq", default=1, type=int)
+    p.add_argument("--output_dir", default=".", type=str)
+    p.add_argument("--num_labels", default=1000, type=int)
+    p.add_argument("--evaluate", dest="evaluate", action="store_true")
+    p.add_argument("--config_file", default="", type=str)
+    p.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
+    # ---- new flags (defaults = reference behavior) ----
+    p.add_argument("--decoder", default="feature", choices=["feature", "mla", "setr"])
+    p.add_argument("--dataset", default="robomis",
+                   choices=["robomis", "endovis2017", "endovis2018", "cholecseg8k",
+                            "autolaparo", "synthetic"])
+    p.add_argument("--loss", default="dc", type=str)
+    p.add_argument("--num_classes", default=2, type=int)
+    p.add_argument("--synthetic", action="store_true", help="use the synthetic dataset")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--no_clahe", action="store_true")
+    p.add_argument("--fsdp", default=1, type=int, help="fsdp axis size for frozen backbone")
+    p.add_argument("--parity_frozen_head", action="store_true",
+                   help="reproduce the reference's accidental decoder-only training"
+                        " (train.py:389-406 no_grad)")
+    p.add_argument("--platform", default=None, type=str,
+                   help="force a jax platform (e.g. cpu)")
+    return p
+
+
+def _arch_from_config(args):
+    """--config_file YAML overrides arch/patch (reference: README trains with
+    --arch vit_base but the vitl14 YAML wins, dinov2/eval/setup.py + SURVEY §6)."""
+    if not args.config_file:
+        return args.arch, args.patch_size
+    import yaml
+
+    with open(args.config_file) as f:
+        cfg = yaml.safe_load(f) or {}
+    student = cfg.get("student", {})
+    arch = student.get("arch", args.arch)
+    patch = student.get("patch_size", args.patch_size)
+    return arch, patch
+
+
+def train_seg(args):
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from adaptersis_tpu.data import DATASETS, DataLoader, EpochSampler, SyntheticSeg
+    from adaptersis_tpu.models import AdapterSegmentor, build_backbone
+    from adaptersis_tpu.parallel import get_mesh, init_distributed, is_main_process
+    from adaptersis_tpu.train import (
+        Trainer, TrainerConfig, load_dinov2_backbone_params,
+        restore_checkpoint, save_checkpoint,
+    )
+    from adaptersis_tpu.utils import MetricLogger, SmoothedValue
+
+    init_distributed(args.dist_url)
+    print("\n".join(f"{k}: {v}" for k, v in sorted(vars(args).items())))
+
+    arch, patch = _arch_from_config(args)
+    if args.imsize % patch:
+        sys.exit(f"error: --imsize {args.imsize} must be divisible by --patch_size {patch}")
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    backbone = build_backbone(arch, img_size=518, patch_size=patch, dtype=dtype)
+    model = AdapterSegmentor(
+        backbone=backbone,
+        num_classes=args.num_classes,
+        n_last_blocks=args.n_last_blocks,
+        decoder_type=args.decoder,
+        parity_frozen_head=args.parity_frozen_head,
+        dtype=dtype,
+    )
+
+    pretrained = None
+    if args.pretrained_weights:
+        pretrained = load_dinov2_backbone_params(args.pretrained_weights, args.checkpoint_key)
+        print(f"loaded pretrained backbone from {args.pretrained_weights} "
+              f"(key={args.checkpoint_key})")
+
+    cfg = TrainerConfig(
+        lr=args.lr, epochs=args.epochs, loss=args.loss,
+        use_clahe=not args.no_clahe, fsdp=args.fsdp, seed=args.seed,
+    )
+    mesh = get_mesh(fsdp=args.fsdp)
+    trainer = Trainer(model, cfg, mesh=mesh, pretrained_backbone=pretrained)
+
+    # ---- data (val: plain resize; train: on-device augs) ----
+    if args.synthetic or args.dataset == "synthetic":
+        ds_train = SyntheticSeg(n=8 * args.batch_size_per_gpu, imsize=args.imsize,
+                                num_classes=args.num_classes, seed=args.seed)
+        ds_val = SyntheticSeg(n=2 * args.batch_size_per_gpu, imsize=args.imsize,
+                              num_classes=args.num_classes, seed=args.seed + 1)
+    else:
+        ds_cls = DATASETS[args.dataset]
+        ds_train = ds_cls(args.data_path, split="training", imsize=args.imsize)
+        ds_val = ds_cls(args.data_path, split="validation", imsize=args.imsize)
+
+    n_dev_batch = args.batch_size_per_gpu * jax.device_count()
+    sampler = EpochSampler(len(ds_train), shuffle=True, seed=args.seed,
+                           rank=jax.process_index(), world_size=jax.process_count())
+    train_loader = DataLoader(ds_train, sampler=sampler, batch_size=n_dev_batch,
+                              num_workers=args.num_workers)
+    val_loader = DataLoader(ds_val, batch_size=n_dev_batch,
+                            num_workers=args.num_workers, drop_last=False)
+    print(f"Data loaded with {len(ds_train)} train and {len(ds_val)} val imgs.")
+
+    # ---- state init + resume ----
+    imgs0 = np.zeros((n_dev_batch, args.imsize, args.imsize, 3), np.uint8)
+    masks0 = np.zeros((n_dev_batch, args.imsize, args.imsize), np.int32)
+    state = trainer.init_state((imgs0, masks0))
+    restored = restore_checkpoint(args.output_dir, state)
+    if restored is not None:
+        state = trainer.shard_state(restored)
+        print(f"resumed from epoch {int(state['epoch'])}")
+    start_epoch = int(state["epoch"])
+    best_acc = float(state["best_acc"])
+
+    def validate(state):
+        logger = MetricLogger(delimiter="  ")
+        for imgs, masks, _ in val_loader:
+            if imgs.shape[0] % jax.device_count():
+                pad = -imgs.shape[0] % jax.device_count()
+                imgs = np.concatenate([imgs, imgs[:pad]])
+                masks = np.concatenate([masks, masks[:pad]])
+            metrics, _ = trainer.eval_step(state, imgs, masks)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        logger.synchronize_between_processes()
+        print("Val:", logger)
+        return {k: m.global_avg for k, m in logger.meters.items()}
+
+    if args.evaluate:
+        stats = validate(state)
+        print(f"Accuracy of the network on the {len(ds_val)} test images: "
+              f"{stats['acc1'] * 100:.1f}%")
+        return
+
+    rng = jax.random.PRNGKey(args.seed + 1234)
+    for epoch in range(start_epoch, args.epochs):
+        sampler.set_epoch(epoch)
+        logger = MetricLogger(delimiter="  ")
+        logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
+        for imgs, masks, _ in logger.log_every(train_loader, 20, f"Epoch: [{epoch}]"):
+            rng, step_rng = jax.random.split(rng)
+            state, loss = trainer.train_step(state, imgs, masks, step_rng, epoch)
+            logger.update(loss=float(loss), lr=trainer.lr_fn(epoch))
+        logger.synchronize_between_processes()
+        print("Averaged stats:", logger)
+        train_stats = {k: m.global_avg for k, m in logger.meters.items()}
+
+        log_stats = {**{f"train_{k}": v for k, v in train_stats.items()}, "epoch": epoch}
+        if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
+            test_stats = validate(state)
+            print(f"Accuracy at epoch {epoch} of the network on the {len(ds_val)} "
+                  f"test images: {test_stats['acc1'] * 100:.1f}%")
+            best_acc = max(best_acc, test_stats["acc1"])
+            print(f"Max accuracy so far: {best_acc * 100:.2f}%")
+            log_stats.update({f"test_{k}": v for k, v in test_stats.items()})
+
+        if is_main_process():
+            with (Path(args.output_dir) / "log.txt").open("a") as f:
+                f.write(json.dumps(log_stats) + "\n")
+        state = {**state,
+                 "epoch": state["epoch"] * 0 + (epoch + 1),
+                 "best_acc": state["best_acc"] * 0 + best_acc}
+        save_checkpoint(args.output_dir, jax.device_get(state))
+    print("Training completed.\nTop-1 test accuracy: {acc:.1f}".format(acc=best_acc * 100))
+
+
+if __name__ == "__main__":
+    args = get_args_parser().parse_args()
+    os.makedirs(args.output_dir, exist_ok=True)
+    train_seg(args)
