@@ -11,5 +11,8 @@ from .decoders import (
     MLAHead,
 )
 from .encoders import FeatureEncoder
+from .masktrans import MaskTransformer
 from .segmentor import AdapterSegmentor
+from .tap_segmentor import TapSegmentor, UNetFuse
+from .unet_parts import FeatureUNet
 from .vit import ARCHS, DinoVisionTransformer, build_backbone, vit_base, vit_giant2, vit_large, vit_small

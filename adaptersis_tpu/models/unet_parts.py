@@ -86,6 +86,30 @@ class UpWC(nn.Module):
         return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(x, train)
 
 
+class FeatureUNet(nn.Module):
+    """Truncated feature-space UNet on ViT tokens (reference unet_parts.py:106-138,
+    embedded in eval/eval_dinov2_unet.py:367-399): 384 → down3/down4 → up with
+    skips → 2 no-skip ups → OutConv. Output at 4× the input grid."""
+
+    n_classes: int = 2
+    in_channels: int = 384
+    bilinear: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        factor = 2 if self.bilinear else 1
+        c = self.in_channels
+        x3 = x
+        x4 = Down(2 * c, dtype=self.dtype, name="down3")(x3, train)
+        x5 = Down(4 * c // factor, dtype=self.dtype, name="down4")(x4, train)
+        h = Up(2 * c // factor, self.bilinear, dtype=self.dtype, name="up1")(x5, x4, train)
+        h = Up(c // factor, self.bilinear, dtype=self.dtype, name="up2")(h, x3, train)
+        h = UpWC(c // 2 // factor, self.bilinear, dtype=self.dtype, name="up3")(h, train)
+        h = UpWC(c // 4, self.bilinear, dtype=self.dtype, name="up4")(h, train)
+        return OutConv(self.n_classes, dtype=self.dtype, name="outc")(h)
+
+
 class OutConv(nn.Module):
     out_channels: int
     dtype: Dtype = jnp.float32

@@ -25,6 +25,7 @@ The reference forces this op to fp32 under AMP (custom_fwd(cast_inputs=float32),
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Sequence, Tuple
 
@@ -66,7 +67,7 @@ def _bilinear_gather_level(
         idx_bm = idx.transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
         g = jnp.take_along_axis(v, idx_bm[..., None], axis=2)      # (B, M, Lq*P, D)
         g = g.reshape(B, M, Lq, P, D).transpose(0, 2, 1, 3, 4)
-        return g * (w * valid.astype(w.dtype))[..., None]
+        return g * (w * valid.astype(w.dtype))[..., None].astype(g.dtype)
 
     out = corner(x0i, y0i, (1 - tx) * (1 - ty))
     out = out + corner(x0i + 1, y0i, tx * (1 - ty))
@@ -75,32 +76,56 @@ def _bilinear_gather_level(
     return out
 
 
+def _msda_core_impl(value, sampling_locations, attention_weights, *, spatial_shapes):
+    B, S, M, D = value.shape
+    Lq = sampling_locations.shape[1]
+    loc_dtype = jnp.float32  # coordinates always fp32 (precision of sample positions)
+    out = jnp.zeros((B, Lq, M, D), jnp.float32)
+    start = 0
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v_l = jax.lax.dynamic_slice_in_dim(value, start, H * W, axis=1)
+        loc = sampling_locations[:, :, :, lvl].astype(loc_dtype)
+        sampled = _bilinear_gather_level(v_l, loc, H, W)
+        out = out + jnp.einsum(
+            "blmpd,blmp->blmd",
+            sampled,
+            attention_weights[:, :, :, lvl].astype(sampled.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        start += H * W
+    assert start == S, f"sum of spatial shapes {start} != value length {S}"
+    return out.reshape(B, Lq, M * D)
+
+
 def ms_deform_attn_core(
     value: jax.Array,                       # (B, S_total, M, D)
     spatial_shapes: Sequence[Tuple[int, int]],  # static [(H, W), ...]
     sampling_locations: jax.Array,          # (B, Lq, M, L, P, 2) in [0,1]
     attention_weights: jax.Array,           # (B, Lq, M, L, P), softmaxed over L*P
+    force_fp32: bool = True,
 ) -> jax.Array:
     """Reference math of ms_deform_attn_core_pytorch (:33-54), XLA-gather form.
 
-    Returns (B, Lq, M*D). Computation in fp32 (reference AMP boundary, :19).
+    Returns (B, Lq, M*D) in value.dtype.
+
+    force_fp32=True upcasts the sampled values to fp32 (the reference AMP boundary,
+    custom_fwd(cast_inputs=float32), :19). With False the gathers run in the input
+    dtype (bf16 on TPU) with fp32 accumulation — half the HBM traffic/transients;
+    coordinates and softmax weights stay fp32 either way.
+
+    The whole core is jax.checkpoint'd: the backward pass recomputes the corner
+    gathers instead of storing the (B, Lq, M, P, D) transients — at 588px/ViT-L
+    those dominate HBM (220 MB apiece) and rematerialization is nearly free
+    (gathers are bandwidth-bound, the step is MXU-bound).
     """
     in_dtype = value.dtype
-    value = value.astype(jnp.float32)
-    sampling_locations = sampling_locations.astype(jnp.float32)
-    attention_weights = attention_weights.astype(jnp.float32)
-
-    B, S, M, D = value.shape
-    Lq = sampling_locations.shape[1]
-    out = jnp.zeros((B, Lq, M, D), jnp.float32)
-    start = 0
-    for lvl, (H, W) in enumerate(spatial_shapes):
-        v_l = jax.lax.dynamic_slice_in_dim(value, start, H * W, axis=1)
-        sampled = _bilinear_gather_level(v_l, sampling_locations[:, :, :, lvl], H, W)
-        out = out + jnp.einsum("blmpd,blmp->blmd", sampled, attention_weights[:, :, :, lvl])
-        start += H * W
-    assert start == S, f"sum of spatial shapes {start} != value length {S}"
-    return out.reshape(B, Lq, M * D).astype(in_dtype)
+    if force_fp32:
+        value = value.astype(jnp.float32)
+    core = jax.checkpoint(
+        functools.partial(_msda_core_impl, spatial_shapes=tuple(spatial_shapes))
+    )
+    out = core(value, sampling_locations, attention_weights.astype(jnp.float32))
+    return out.astype(in_dtype)
 
 
 def _directional_offset_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
@@ -128,6 +153,10 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     ratio: float = 1.0
+    # reference parity: the op is forced to fp32 under AMP (:19). On the bf16 TPU
+    # path we default to bf16 gathers + fp32 accumulation instead (half the HBM
+    # transients); set force_fp32=True for bit-parity benchmarking.
+    force_fp32: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -183,7 +212,10 @@ class MSDeformAttn(nn.Module):
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )
 
-        out = ms_deform_attn_core(value, spatial_shapes, locations, weights)
+        out = ms_deform_attn_core(
+            value, spatial_shapes, locations, weights,
+            force_fp32=self.force_fp32 or self.dtype == jnp.float32,
+        )
         return nn.Dense(
             self.d_model,
             kernel_init=nn.initializers.xavier_uniform(),

@@ -47,6 +47,7 @@ class TrainerConfig:
     use_clahe: bool = True
     fsdp: int = 1
     seed: int = 0
+    train_backbone: bool = False   # True for the setr_ete end-to-end variant
 
 
 class Trainer:
@@ -70,9 +71,12 @@ class Trainer:
             jax.random.PRNGKey(self.cfg.seed), x, train=False
         )
         params = dict(variables["params"])
-        frozen = {"backbone": params.pop("backbone")}
         if self._pretrained_backbone is not None:
-            frozen = {"backbone": jax.tree_util.tree_map(jnp.asarray, self._pretrained_backbone)}
+            params["backbone"] = jax.tree_util.tree_map(jnp.asarray, self._pretrained_backbone)
+        if self.cfg.train_backbone:
+            frozen = {}
+        else:
+            frozen = {"backbone": params.pop("backbone")}
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
         state = {

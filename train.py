@@ -54,6 +54,11 @@ def get_args_parser():
     p.add_argument("--config_file", default="", type=str)
     p.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
     # ---- new flags (defaults = reference behavior) ----
+    p.add_argument("--model", default="adapter",
+                   choices=["adapter", "tap_setr", "tap_unet", "tap_unet_fuse",
+                            "tap_masktrans", "tap_setr_ete"],
+                   help="adapter = the paper architecture (train.py); tap_* = the "
+                        "reference eval/ script variants (frozen taps + head)")
     p.add_argument("--decoder", default="feature", choices=["feature", "mla", "setr"])
     p.add_argument("--dataset", default="robomis",
                    choices=["robomis", "endovis2017", "endovis2018", "cholecseg8k",
@@ -112,15 +117,35 @@ def train_seg(args):
         sys.exit(f"error: --imsize {args.imsize} must be divisible by --patch_size {patch}")
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
+    from adaptersis_tpu.models.tap_segmentor import TapSegmentor
+
     backbone = build_backbone(arch, img_size=518, patch_size=patch, dtype=dtype)
-    model = AdapterSegmentor(
-        backbone=backbone,
-        num_classes=args.num_classes,
-        n_last_blocks=args.n_last_blocks,
-        decoder_type=args.decoder,
-        parity_frozen_head=args.parity_frozen_head,
-        dtype=dtype,
-    )
+    # per-model reference loss defaults (each eval script hardcodes its own)
+    loss = args.loss
+    trainer_softmax = True
+    if args.model == "adapter":
+        model = AdapterSegmentor(
+            backbone=backbone,
+            num_classes=args.num_classes,
+            n_last_blocks=args.n_last_blocks,
+            decoder_type=args.decoder,
+            parity_frozen_head=args.parity_frozen_head,
+            dtype=dtype,
+        )
+    else:
+        tap = args.model[len("tap_"):]
+        model = TapSegmentor(
+            backbone=backbone,
+            num_classes=args.num_classes,
+            n_last_blocks=args.n_last_blocks,
+            decoder=tap,
+            train_backbone=(tap == "setr_ete"),
+            dtype=dtype,
+        )
+        if args.loss == "dc":  # not explicitly overridden → script default
+            loss = {"setr": "ce_dc", "unet": "ce_dc", "unet_fuse": "ce_dc",
+                    "masktrans": "masktrans", "setr_ete": "ce_dc"}[tap]
+        trainer_softmax = False
 
     pretrained = None
     if args.pretrained_weights:
@@ -129,8 +154,9 @@ def train_seg(args):
               f"(key={args.checkpoint_key})")
 
     cfg = TrainerConfig(
-        lr=args.lr, epochs=args.epochs, loss=args.loss,
+        lr=args.lr, epochs=args.epochs, loss=loss, trainer_softmax=trainer_softmax,
         use_clahe=not args.no_clahe, fsdp=args.fsdp, seed=args.seed,
+        train_backbone=(args.model == "tap_setr_ete"),
     )
     mesh = get_mesh(fsdp=args.fsdp)
     trainer = Trainer(model, cfg, mesh=mesh, pretrained_backbone=pretrained)
