@@ -24,14 +24,18 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# D65 sRGB↔XYZ (OpenCV constants)
-_RGB2XYZ = jnp.asarray(
+import numpy as _np
+
+# D65 sRGB↔XYZ (OpenCV constants). Plain numpy at module scope — creating jnp
+# arrays at import time would initialize a jax backend just by importing the data
+# package (breaks pure-host tools like the offline converters).
+_RGB2XYZ = _np.asarray(
     [[0.412453, 0.357580, 0.180423],
      [0.212671, 0.715160, 0.072169],
-     [0.019334, 0.119193, 0.950227]], jnp.float32
+     [0.019334, 0.119193, 0.950227]], _np.float32
 )
-_XYZ2RGB = jnp.linalg.inv(_RGB2XYZ)
-_WHITE = jnp.asarray([0.950456, 1.0, 1.088754], jnp.float32)
+_XYZ2RGB = _np.linalg.inv(_RGB2XYZ).astype(_np.float32)
+_WHITE = _np.asarray([0.950456, 1.0, 1.088754], _np.float32)
 
 
 def _f_lab(t):
@@ -99,11 +103,14 @@ def clahe_channel(img: jax.Array, clip_limit: float = 4.0, tiles: int = 8) -> ja
     area = th * tw
     T = tiles * tiles
 
-    # per-tile histograms via scatter-add
+    # per-tile histograms: compare-and-reduce (fuses into one VPU loop — a
+    # scatter-add formulation serializes on TPU and costs seconds per batch)
     tiled = x.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3).reshape(T, area)
-    hist = jnp.zeros((T, 256), jnp.float32)
-    tid = jnp.broadcast_to(jnp.arange(T)[:, None], (T, area))
-    hist = hist.at[tid.reshape(-1), tiled.reshape(-1).astype(jnp.int32)].add(1.0)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    hist = jnp.sum(
+        (tiled.astype(jnp.int32)[:, :, None] == bins[None, None, :]).astype(jnp.float32),
+        axis=1,
+    )
 
     # clip + redistribute (cv2 semantics, integer arithmetic in float)
     clip = jnp.maximum(jnp.floor(clip_limit * area / 256.0), 1.0)
