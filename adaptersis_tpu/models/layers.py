@@ -110,15 +110,50 @@ def drop_path(x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.
     return jnp.where(mask, x / keep, 0.0)
 
 
+def _sdpa_einsum(q, k, v, scale, dtype):
+    attn = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(dtype), k.astype(dtype))
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(dtype))
+
+
+def _sdpa_flash(q, k, v, scale):
+    """Pallas TPU flash attention (jax.experimental.pallas.ops.tpu.flash_attention)
+    — replaces the reference's xformers memory_efficient_attention
+    (dinov2/layers/attention.py:72-89). Sequence padded to a 512 multiple; padded
+    keys are masked out via segment ids so real-token rows are exact."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    B, N, H, Dh = q.shape
+    Np = -(-N // 512) * 512
+    pad = Np - N
+
+    def to_bhnd(t):
+        t = jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return t.transpose(0, 2, 1, 3)
+
+    ids = (jnp.arange(Np) < N).astype(jnp.int32)[None, :]
+    ids = jnp.broadcast_to(ids, (B, Np))
+    out = flash_attention(
+        to_bhnd(q), to_bhnd(k), to_bhnd(v),
+        segment_ids=SegmentIds(q=ids, kv=ids),
+        sm_scale=scale,
+    )
+    return out.transpose(0, 2, 1, 3)[:, :N]
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (dinov2/layers/attention.py:36-69).
 
-    The reference's xformers memory_efficient_attention path
-    (dinov2/layers/attention.py:72-89) is replaced by an XLA einsum program that the
-    TPU compiler fuses; at the model's native 1764+1 tokens this is MXU-bound already.
+    attn_impl:
+      * "einsum" — plain XLA SDPA (fp32 softmax), always available
+      * "flash"  — Pallas TPU flash-attention kernel; at the flagship 1765-token
+        sequence the einsum path is HBM-bound on the (B,H,N,N) score matrix
+        (~3 GB/block @ bs8), which flash eliminates.
     """
 
     num_heads: int
+    attn_impl: str = "einsum"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -130,9 +165,11 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, Dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
         scale = 1.0 / math.sqrt(Dh)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
+        if self.attn_impl == "flash":
+            out = _sdpa_flash(q, k, v, scale)
+        else:
+            out = _sdpa_einsum(q, k, v, scale, self.dtype)
+        out = out.reshape(B, N, C)
         return nn.Dense(C, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
 

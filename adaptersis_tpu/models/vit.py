@@ -48,6 +48,7 @@ class DinoVisionTransformer(nn.Module):
     def setup(self):
         self.patch_embed = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype)
         self.cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, self.embed_dim), jnp.float32)
+        self.mask_token = self.param("mask_token", nn.initializers.zeros, (1, self.embed_dim), jnp.float32)
         n_base = (self.img_size // self.patch_size) ** 2
         self.pos_embed = self.param(
             "pos_embed", trunc_normal_init(0.02), (1, n_base + 1, self.embed_dim), jnp.float32
@@ -89,11 +90,16 @@ class DinoVisionTransformer(nn.Module):
         grid = resize_bicubic(grid, (hp, wp), scales=((hp + 0.1) / m, (wp + 0.1) / m))
         return jnp.concatenate([cls_pe, grid.reshape(1, hp * wp, self.embed_dim)], axis=1)
 
-    def embed(self, x: jax.Array, with_pos_cls: bool = True) -> Tuple[jax.Array, Tuple[int, int]]:
+    def embed(self, x: jax.Array, with_pos_cls: bool = True,
+              masks: Optional[jax.Array] = None) -> Tuple[jax.Array, Tuple[int, int]]:
         """Patch-embed NHWC input. with_pos_cls=False reproduces the reference's
         adapter re-walk, which runs `model.patch_embed(inp)` with *no* cls token and
-        *no* positional embedding (train.py:300-301)."""
+        *no* positional embedding (train.py:300-301). `masks` (B, N) bool replaces
+        masked patch tokens with the learned mask token BEFORE cls/pos — the iBOT
+        substitution (vision_transformer.py:190-199)."""
         tokens, (hp, wp) = self.patch_embed(x)
+        if masks is not None:
+            tokens = jnp.where(masks[..., None], self.mask_token.astype(tokens.dtype), tokens)
         if not with_pos_cls:
             return tokens, (hp, wp)
         B = tokens.shape[0]
@@ -135,7 +141,10 @@ class DinoVisionTransformer(nn.Module):
     def __call__(self, x: jax.Array) -> dict:
         """Full forward. Returns the reference's output dict fields
         (dinov2/models/vision_transformer.py:201-218)."""
-        tokens, _ = self.embed(x, with_pos_cls=True)
+        return self.forward_with_masks(x, masks=None)
+
+    def forward_with_masks(self, x: jax.Array, masks: Optional[jax.Array] = None) -> dict:
+        tokens, _ = self.embed(x, with_pos_cls=True, masks=masks)
         tokens = self.run_blocks(tokens, 0, self.depth)
         normed = self.final_norm(tokens)
         r = self.num_register_tokens

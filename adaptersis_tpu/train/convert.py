@@ -78,6 +78,8 @@ def convert_dinov2_backbone(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     }
     params["cls_token"] = sd["cls_token"]
     params["pos_embed"] = sd["pos_embed"]
+    if "mask_token" in sd:
+        params["mask_token"] = sd["mask_token"]
     if "register_tokens" in sd:
         params["register_tokens"] = sd["register_tokens"]
 

@@ -21,11 +21,15 @@ def cosine_scheduler(base_value: float, final_value: float, epochs: int,
                      start_warmup_value: float = 0.0, freeze_iters: int = 0) -> np.ndarray:
     """Per-iteration cosine array with linear warmup + freeze prefix
     (utils.py:187-198 + dinov2 CosineScheduler freeze_iters)."""
+    total = epochs * niter_per_ep
+    freeze_iters = min(freeze_iters, total)
+    warmup_iters = min(warmup_epochs * niter_per_ep, total - freeze_iters)
     freeze = np.zeros(freeze_iters)
-    warmup_iters = warmup_epochs * niter_per_ep
     warmup = np.linspace(start_warmup_value, base_value, warmup_iters) if warmup_iters else np.array([])
-    iters = np.arange(epochs * niter_per_ep - warmup_iters - freeze_iters)
-    cos = final_value + 0.5 * (base_value - final_value) * (1 + np.cos(np.pi * iters / len(iters)))
+    n_cos = total - warmup_iters - freeze_iters
+    iters = np.arange(n_cos)
+    cos = (final_value + 0.5 * (base_value - final_value)
+           * (1 + np.cos(np.pi * iters / max(n_cos, 1))))
     out = np.concatenate([freeze, warmup, cos])
-    assert len(out) == epochs * niter_per_ep
+    assert len(out) == total
     return out

@@ -1,0 +1,123 @@
+"""SSL stack: loss math oracles, centering, masking, meta-arch step on tiny config."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from adaptersis_tpu.ssl import (
+    MaskingGenerator,
+    SSLConfig,
+    SSLMetaArch,
+    collate_masks,
+    dino_loss,
+    ibot_patch_loss,
+    koleo_loss,
+    sinkhorn_knopp,
+    softmax_center_teacher,
+    update_center,
+)
+
+
+def test_dino_loss_matches_torch():
+    rng = np.random.default_rng(0)
+    s = [rng.standard_normal((4, 16)).astype(np.float32) for _ in range(2)]
+    t = [np.abs(rng.standard_normal((4, 16))).astype(np.float32) for _ in range(2)]
+    t = [x / x.sum(-1, keepdims=True) for x in t]
+    want = 0.0
+    for si in s:
+        lsm = F.log_softmax(torch.from_numpy(si) / 0.1, dim=-1)
+        for ti in t:
+            want -= (torch.from_numpy(ti) * lsm).sum(-1).mean().item()
+    got = float(dino_loss([jnp.asarray(x) for x in s], [jnp.asarray(x) for x in t]))
+    assert abs(got - want) < 1e-4
+
+
+def test_center_update_and_softmax_center():
+    rng = np.random.default_rng(1)
+    out = rng.standard_normal((8, 16)).astype(np.float32)
+    center = np.zeros((1, 16), np.float32)
+    new = np.asarray(update_center(jnp.asarray(center), jnp.asarray(out)))
+    want = center * 0.9 + out.mean(0, keepdims=True) * 0.1
+    np.testing.assert_allclose(new, want, rtol=1e-5, atol=1e-6)
+    sm = np.asarray(softmax_center_teacher(jnp.asarray(out), jnp.asarray(new), 0.07))
+    np.testing.assert_allclose(sm.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_sinkhorn_columns_sum_to_one():
+    rng = np.random.default_rng(2)
+    out = rng.standard_normal((16, 8)).astype(np.float32)
+    Q = np.asarray(sinkhorn_knopp(jnp.asarray(out), 0.07))
+    np.testing.assert_allclose(Q.sum(-1), 1.0, rtol=1e-4, atol=1e-4)
+
+
+def test_ibot_loss_ignores_unmasked():
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(rng.standard_normal((2, 6, 8)), jnp.float32)
+    t = jax.nn.softmax(jnp.asarray(rng.standard_normal((2, 6, 8)), jnp.float32))
+    mask0 = jnp.zeros((2, 6), bool)
+    assert float(ibot_patch_loss(s, t, mask0)) == 0.0
+    mask = mask0.at[0, :3].set(True)
+    v = float(ibot_patch_loss(s, t, mask))
+    assert v > 0.0
+    # changing an unmasked position's logits must not change the loss
+    s2 = s.at[1, 5].set(100.0)
+    assert abs(float(ibot_patch_loss(s2, t, mask)) - v) < 1e-6
+
+
+def test_koleo_matches_torch_reference_math():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((8, 16)).astype(np.float32)
+    tx = F.normalize(torch.from_numpy(x), dim=-1, eps=1e-8)
+    dots = tx @ tx.t()
+    n = tx.shape[0]
+    dots.view(-1)[:: n + 1] = -1
+    I = dots.max(dim=1)[1]
+    d = F.pairwise_distance(tx, tx[I], 2, eps=1e-8)
+    want = -torch.log(d + 1e-8).mean().item()
+    got = float(koleo_loss(jnp.asarray(x)))
+    assert abs(got - want) < 1e-4
+
+
+def test_masking_generator_and_collate():
+    gen = MaskingGenerator((8, 8), num_masking_patches=32)
+    m = gen(20, seed=0)
+    assert m.shape == (8, 8)
+    assert 0 < m.sum() <= 32
+    batch = collate_masks(batch_size=6, n_tokens=64, mask_generator=gen,
+                          mask_probability=0.5, seed=1)
+    assert batch.shape == (6, 64)
+    masked_samples = (batch.sum(1) > 0).sum()
+    assert masked_samples == 3  # half the batch
+
+
+def test_meta_arch_step_runs_and_teacher_ema():
+    from adaptersis_tpu.models.vit import DinoVisionTransformer
+
+    bb = DinoVisionTransformer(img_size=28, patch_size=14, embed_dim=32, depth=2,
+                               num_heads=2)
+    cfg = SSLConfig(dino_out_dim=64, ibot_out_dim=64, n_local_crops=2,
+                    koleo_loss_weight=0.1)
+    arch = SSLMetaArch(bb, cfg)
+    state = arch.init_state(jax.random.PRNGKey(0), 28, 28)
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.standard_normal((4, 28, 28, 3)), jnp.float32)
+    l = jnp.asarray(rng.standard_normal((4, 28, 28, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(size=(4, 4)) > 0.5)
+    schedules = {k: np.full(10, v) for k, v in
+                 [("lr", 1e-3), ("wd", 0.04), ("momentum", 0.9),
+                  ("teacher_temp", 0.04), ("last_layer_lr", 1e-3)]}
+    s0_student = jax.device_get(state["student"])
+    state, metrics = arch.train_step(state, g, l, masks, schedules, 0)
+    assert np.isfinite(float(metrics["total_loss"]))
+    # teacher must move toward the updated student: t = 0.9 t + 0.1 s_new
+    s_new = jax.device_get(state["student"])
+    t_new = jax.device_get(state["teacher"])
+    leaf = lambda tree: jax.tree_util.tree_leaves(tree)[0]
+    np.testing.assert_allclose(
+        leaf(t_new), 0.9 * leaf(s0_student) + 0.1 * leaf(s_new), rtol=2e-4, atol=2e-6)
+    # center must have moved off zero
+    assert float(jnp.abs(state["dino_center"]).sum()) > 0.0
