@@ -157,7 +157,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_attn: bool = False):
         B, N, C = x.shape
         H = self.num_heads
         Dh = C // H
@@ -165,6 +165,13 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, Dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
         scale = 1.0 / math.sqrt(Dh)
+        if return_attn:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(self.dtype), k.astype(self.dtype))
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v.astype(self.dtype))
+            out = out.reshape(B, N, C)
+            out = nn.Dense(C, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+            return out, attn
         if self.attn_impl == "flash":
             out = _sdpa_flash(q, k, v, scale)
         else:
@@ -185,13 +192,18 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 return_attention: bool = False):
         def ls(name: str, y: jax.Array) -> jax.Array:
             if self.init_values is None:
                 return y
             return LayerScale(self.dim, self.init_values, name=name)(y)
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        if return_attention:
+            # attention-map hook for visualization (root vision_transformer.py:80-92)
+            _, attn = Attention(self.num_heads, dtype=self.dtype, name="attn")(h, return_attn=True)
+            return attn
         h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
         x = x + ls("ls1", h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)

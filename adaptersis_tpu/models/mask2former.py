@@ -1,0 +1,316 @@
+"""Mask2Former segmentation stack (reference:
+dinov2/eval/segmentation_m2f/models/ — mask2former_head.py,
+plugins/msdeformattn_pixel_decoder.py, utils/positional_encoding.py,
+utils/assigner.py, losses/*, segmentors/encoder_decoder_mask2former.py).
+
+Compact TPU-native re-implementation:
+  * SinePositionalEncoding (positional_encoding.py:15-98)
+  * MSDeformAttnPixelDecoder — deformable-encoder FPN over the backbone pyramid,
+    emitting mask_features (1/4 res) + 3 memory levels (:18-242)
+  * Mask2FormerHead — 100 learned queries, 9 decoder layers cycling over the 3
+    memory scales with MASKED cross-attention (attention restricted to the
+    foreground of the previous layer's mask prediction), class + mask-embed heads,
+    per-layer aux outputs (mask2former_head.py:24-544)
+  * Hungarian matching via jax.pure_callback → scipy linear_sum_assignment
+    (assigner.py uses scipy on CPU too; the cost matrices are 100×K — negligible
+    host traffic), with class/mask-BCE/dice costs
+  * point-sampled mask losses with uncertainty-based sampling
+    (utils/point_sample.py:10-88)
+  * semantic inference: einsum of class probs × mask sigmoids
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.ms_deform_attn import MSDeformAttn
+from ..ops.resize import resize_bilinear
+from .adapters import get_reference_points
+
+Dtype = Any
+
+
+def sine_positional_encoding(hw: Tuple[int, int], num_feats: int = 128,
+                             temperature: int = 10000, normalize: bool = True,
+                             scale: float = 2 * math.pi) -> jax.Array:
+    """SinePositionalEncoding (positional_encoding.py:15-98) → (H, W, 2*num_feats)."""
+    H, W = hw
+    y = jnp.arange(1, H + 1, dtype=jnp.float32)[:, None] * jnp.ones((1, W))
+    x = jnp.arange(1, W + 1, dtype=jnp.float32)[None, :] * jnp.ones((H, 1))
+    if normalize:
+        eps = 1e-6
+        y = y / (H + eps) * scale
+        x = x / (W + eps) * scale
+    dim_t = temperature ** (2 * (jnp.arange(num_feats) // 2) / num_feats)
+    pos_x = x[..., None] / dim_t
+    pos_y = y[..., None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])], -1).reshape(H, W, num_feats)
+    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])], -1).reshape(H, W, num_feats)
+    return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
+class FFN(nn.Module):
+    dim: int
+    hidden: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
+        return x + h
+
+
+class MSDeformAttnPixelDecoder(nn.Module):
+    """Deformable-encoder FPN (msdeformattn_pixel_decoder.py:18-242). Input:
+    [f1(1/4), f2(1/8), f3(1/16), f4(1/32)]; encoder runs on the last 3 levels."""
+
+    feat_channels: int = 256
+    num_encoder_layers: int = 6
+    num_heads: int = 8
+    n_points: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False):
+        C = self.feat_channels
+        f1, f2, f3, f4 = feats
+        enc_maps = [f4, f3, f2]  # high→low stride like the reference
+        shapes = [tuple(m.shape[1:3]) for m in enc_maps]
+        B = f1.shape[0]
+
+        tokens = []
+        pos_toks = []
+        for i, m in enumerate(enc_maps):
+            t = nn.Conv(C, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"input_proj_{i}")(m)
+            lvl_embed = self.param(f"level_encoding_{i}", nn.initializers.normal(1.0), (C,),
+                                   jnp.float32)
+            pos = sine_positional_encoding(m.shape[1:3], C // 2)
+            tokens.append(t.reshape(B, -1, C))
+            pos_toks.append((pos + lvl_embed).reshape(1, -1, C))
+        src = jnp.concatenate(tokens, axis=1)
+        pos = jnp.concatenate(pos_toks, axis=1).astype(src.dtype)
+        ref = jnp.asarray(get_reference_points(shapes))
+        ref = jnp.broadcast_to(ref, (B, src.shape[1], len(shapes), 2))
+
+        for li in range(self.num_encoder_layers):
+            q = src + pos
+            attn = MSDeformAttn(d_model=C, n_levels=len(shapes), n_heads=self.num_heads,
+                                n_points=self.n_points, dtype=self.dtype,
+                                name=f"encoder_{li}_attn")(q, ref, src, shapes)
+            src = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                               name=f"encoder_{li}_norm1")(src + attn)
+            src = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                               name=f"encoder_{li}_norm2")(
+                FFN(C, 1024, dtype=self.dtype, name=f"encoder_{li}_ffn")(src))
+
+        # split back to maps
+        sizes = [h * w for h, w in shapes]
+        mems = []
+        start = 0
+        for (h, w), n in zip(shapes, sizes):
+            mems.append(jax.lax.dynamic_slice_in_dim(src, start, n, axis=1).reshape(B, h, w, -1))
+            start += n
+
+        # FPN: top-down into f1 for mask features
+        y = mems[-1]  # 1/8 level
+        lateral = nn.Conv(C, (1, 1), use_bias=False, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="lateral_conv")(f1)
+        y_up = resize_bilinear(y, f1.shape[1:3])
+        fused = lateral + y_up
+        fused = nn.Conv(C, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="output_conv")(fused)
+        mask_features = nn.Conv(C, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                                name="mask_feature")(fused)
+        return mask_features, mems  # mems: [1/32, 1/16, 1/8]
+
+
+class Mask2FormerHead(nn.Module):
+    """(mask2former_head.py:24-544)."""
+
+    num_classes: int
+    num_queries: int = 100
+    feat_channels: int = 256
+    num_decoder_layers: int = 9
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False):
+        C = self.feat_channels
+        B = feats[0].shape[0]
+        mask_features, mems = MSDeformAttnPixelDecoder(
+            feat_channels=C, dtype=self.dtype, name="pixel_decoder")(feats, train)
+
+        query_feat = self.param("query_feat", nn.initializers.normal(1.0),
+                                (self.num_queries, C), jnp.float32)
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0),
+                                 (self.num_queries, C), jnp.float32)
+        q = jnp.broadcast_to(query_feat[None], (B, self.num_queries, C)).astype(self.dtype)
+        q_pos = jnp.broadcast_to(query_embed[None], (B, self.num_queries, C)).astype(self.dtype)
+
+        mem_tokens = []
+        mem_pos = []
+        for i, m in enumerate(mems):
+            lvl = self.param(f"dec_level_embed_{i}", nn.initializers.normal(1.0), (C,), jnp.float32)
+            pos = sine_positional_encoding(m.shape[1:3], C // 2)
+            mem_tokens.append(m.reshape(B, -1, C) + lvl.astype(m.dtype))
+            mem_pos.append(jnp.broadcast_to(pos.reshape(1, -1, C), (B, pos.size // C, C)).astype(self.dtype))
+
+        # prediction heads SHARED across decoder layers (the reference shares
+        # them too) — instantiate once, call per layer
+        pred_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="pred_norm")
+        pred_cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="pred_cls")
+        pred_mlp = [nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"pred_maskmlp_{k}") for k in range(3)]
+
+        def predict(q_, _name=None):
+            qn = pred_norm(q_)
+            cls_logits = pred_cls(qn)
+            e = qn
+            for k, layer in enumerate(pred_mlp):
+                e = layer(e)
+                if k < 2:
+                    e = nn.relu(e)
+            mask_logits = jnp.einsum("bqc,bhwc->bqhw", e, mask_features)
+            return cls_logits, mask_logits
+
+        cls_all, mask_all = [], []
+        cls_l, mask_l = predict(q, "pred")
+        cls_all.append(cls_l)
+        mask_all.append(mask_l)
+
+        for li in range(self.num_decoder_layers):
+            mem = mem_tokens[li % 3]
+            mpos = mem_pos[li % 3]
+            hw = mems[li % 3].shape[1:3]
+            # attention mask from the previous prediction (masked cross-attention)
+            am = resize_bilinear(mask_all[-1].transpose(0, 2, 3, 1), hw)
+            am = (jax.nn.sigmoid(am) > 0.5).transpose(0, 3, 1, 2).reshape(B, self.num_queries, -1)
+            # a query with an empty mask attends everywhere (mask2former_head.py rule)
+            am = jnp.where(am.sum(-1, keepdims=True) == 0, True, am)
+            bias = jnp.where(am, 0.0, -1e9)[:, None]  # (B, 1, Q, N)
+
+            # cross-attention
+            qk = (q + q_pos)
+            kk = mem + mpos
+            def mha(qx, kx, vx, name, attn_bias=None):
+                Dh = C // self.num_heads
+                qh = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_q")(qx)
+                kh = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_k")(kx)
+                vh = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_v")(vx)
+                qh = qh.reshape(B, -1, self.num_heads, Dh)
+                kh = kh.reshape(B, -1, self.num_heads, Dh)
+                vh = vh.reshape(B, -1, self.num_heads, Dh)
+                logits = jnp.einsum("bqhd,bkhd->bhqk", qh / math.sqrt(Dh), kh)
+                if attn_bias is not None:
+                    logits = logits + attn_bias
+                a = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
+                o = jnp.einsum("bhqk,bkhd->bqhd", a, vh).reshape(B, -1, C)
+                return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                                name=f"{name}_o")(o)
+
+            q = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"dec_{li}_norm1")(
+                q + mha(qk, kk, mem, f"dec_{li}_cross", bias))
+            q = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"dec_{li}_norm2")(
+                q + mha(q + q_pos, q + q_pos, q, f"dec_{li}_self"))
+            q = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"dec_{li}_norm3")(
+                FFN(C, 2048, dtype=self.dtype, name=f"dec_{li}_ffn")(q))
+            cls_l, mask_l = predict(q, "pred")
+            cls_all.append(cls_l)
+            mask_all.append(mask_l)
+
+        return cls_all, mask_all  # lists over layers; last = final
+
+
+# ---- matching + losses ----
+
+def _hungarian_host(cost: np.ndarray) -> np.ndarray:
+    from scipy.optimize import linear_sum_assignment
+
+    out = np.zeros((cost.shape[0], 2, min(cost.shape[1], cost.shape[2])), np.int32)
+    for b in range(cost.shape[0]):
+        r, c = linear_sum_assignment(cost[b])
+        out[b, 0, : len(r)] = r
+        out[b, 1, : len(c)] = c
+    return out
+
+
+def hungarian_match(cost: jax.Array) -> jax.Array:
+    """(B, Q, K) cost → (B, 2, K) row/col assignment via host scipy
+    (assigner.py:46-157 uses scipy linear_sum_assignment as well)."""
+    B, Q, K = cost.shape
+    return jax.pure_callback(
+        _hungarian_host,
+        jax.ShapeDtypeStruct((B, 2, min(Q, K)), jnp.int32),
+        cost,
+        vmap_method="sequential",
+    )
+
+
+def uncertainty_sample_points(mask_logits: jax.Array, num_points: int,
+                              rng: jax.Array, oversample: float = 3.0,
+                              importance: float = 0.75):
+    """Uncertainty-based point sampling (point_sample.py:10-88): sample
+    oversample·P random points, keep the importance fraction with highest
+    uncertainty (−|logit|), fill the rest randomly. Returns (B, P, 2) in [0,1]."""
+    B = mask_logits.shape[0]
+    n_over = int(num_points * oversample)
+    k1, k2 = jax.random.split(rng)
+    pts = jax.random.uniform(k1, (B, n_over, 2))
+
+    def sample_at(logits_hw, p):
+        H, W = logits_hw.shape
+        y = jnp.clip(p[:, 1] * H - 0.5, 0, H - 1)
+        x = jnp.clip(p[:, 0] * W - 0.5, 0, W - 1)
+        y0, x0 = jnp.floor(y).astype(int), jnp.floor(x).astype(int)
+        return logits_hw[y0, x0]
+
+    n_imp = int(num_points * importance)
+    unc = -jnp.abs(jax.vmap(sample_at)(mask_logits, pts))      # (B, n_over)
+    top = jax.lax.top_k(unc, n_imp)[1]
+    imp_pts = jnp.take_along_axis(pts, top[..., None], axis=1)
+    rand_pts = jax.random.uniform(k2, (B, num_points - n_imp, 2))
+    return jnp.concatenate([imp_pts, rand_pts], axis=1)
+
+
+def point_sample(mask: jax.Array, points: jax.Array) -> jax.Array:
+    """Bilinear sample (B, H, W) at (B, P, 2) xy∈[0,1] → (B, P)."""
+    B, H, W = mask.shape
+    x = points[..., 0] * W - 0.5
+    y = points[..., 1] * H - 0.5
+    x0 = jnp.clip(jnp.floor(x).astype(int), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(int), 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    tx = jnp.clip(x - x0, 0, 1)
+    ty = jnp.clip(y - y0, 0, 1)
+
+    def g(m, yy, xx):
+        return jax.vmap(lambda mm, yv, xv: mm[yv, xv])(m, yy, xx)
+
+    return (g(mask, y0, x0) * (1 - tx) * (1 - ty) + g(mask, y0, x1) * tx * (1 - ty)
+            + g(mask, y1, x0) * (1 - tx) * ty + g(mask, y1, x1) * tx * ty)
+
+
+def mask2former_semantic_inference(cls_logits: jax.Array, mask_logits: jax.Array,
+                                   out_hw: Tuple[int, int]) -> jax.Array:
+    """semantic seg = Σ_q softmax(cls)[q, :-1] ⊗ sigmoid(mask_q)
+    (encoder_decoder_mask2former.py semantic path). Returns (B, H, W, classes)."""
+    cls_p = jax.nn.softmax(cls_logits, -1)[..., :-1]           # drop no-object
+    m = jax.nn.sigmoid(mask_logits)
+    seg = jnp.einsum("bqc,bqhw->bhwc", cls_p, m)
+    return resize_bilinear(seg, out_hw)

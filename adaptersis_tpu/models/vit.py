@@ -136,6 +136,13 @@ class DinoVisionTransformer(nn.Module):
     def final_norm(self, x: jax.Array) -> jax.Array:
         return self.norm(x)
 
+    def get_last_selfattention(self, x: jax.Array) -> jax.Array:
+        """Attention probabilities of the last block, (B, heads, N, N) — the DINO
+        attention-visualization hook (root vision_transformer.py:80-92,225-232)."""
+        tokens, _ = self.embed(x, with_pos_cls=True)
+        tokens = self.run_blocks(tokens, 0, self.depth - 1)
+        return self.blocks[-1](tokens, return_attention=True)
+
     # ---- public forward APIs ----
 
     def __call__(self, x: jax.Array) -> dict:

@@ -77,24 +77,49 @@ def _bilinear_gather_level(
 
 
 def _msda_core_impl(value, sampling_locations, attention_weights, *, spatial_shapes):
+    """Lane-axis gather formulation.
+
+    CRITICAL TPU layout fact (measured on v5e): take_along_axis over a *major*
+    axis of a (B, M, S, D) buffer runs at ~0.03 GB/s in bf16 (50 s for 115 MB!),
+    while the same gather over the MINOR (lane) axis of (B, M, D, S) runs at
+    ~7 GB/s — a >1000× difference. So value is transposed once to put the
+    spatial axis minormost and every corner tap is a lane gather.
+    """
     B, S, M, D = value.shape
-    Lq = sampling_locations.shape[1]
-    loc_dtype = jnp.float32  # coordinates always fp32 (precision of sample positions)
-    out = jnp.zeros((B, Lq, M, D), jnp.float32)
+    Lq, L, P = sampling_locations.shape[1], sampling_locations.shape[3], sampling_locations.shape[4]
+    v = value.transpose(0, 2, 3, 1)                    # (B, M, D, S)
+    out = jnp.zeros((B, M, D, Lq), jnp.float32)
     start = 0
     for lvl, (H, W) in enumerate(spatial_shapes):
-        v_l = jax.lax.dynamic_slice_in_dim(value, start, H * W, axis=1)
-        loc = sampling_locations[:, :, :, lvl].astype(loc_dtype)
-        sampled = _bilinear_gather_level(v_l, loc, H, W)
-        out = out + jnp.einsum(
-            "blmpd,blmp->blmd",
-            sampled,
-            attention_weights[:, :, :, lvl].astype(sampled.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        v_l = jax.lax.dynamic_slice_in_dim(v, start, H * W, axis=3)
+        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)   # (B, Lq, M, P, 2)
+        aw = attention_weights[:, :, :, lvl].astype(jnp.float32)     # (B, Lq, M, P)
+        x = loc[..., 0] * W - 0.5
+        y = loc[..., 1] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        acc = jnp.zeros((B, M, D, Lq * P), jnp.float32)
+        for xi, yi, w in (
+            (x0i, y0i, (1 - tx) * (1 - ty)),
+            (x0i + 1, y0i, tx * (1 - ty)),
+            (x0i, y0i + 1, (1 - tx) * ty),
+            (x0i + 1, y0i + 1, tx * ty),
+        ):
+            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+            idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)  # (B, Lq, M, P)
+            idx_bm = idx.transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
+            cw = (w * valid.astype(w.dtype) * aw).transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
+            g = jnp.take_along_axis(v_l, idx_bm[:, :, None, :], axis=3)  # (B, M, D, Lq*P)
+            acc = acc + g.astype(jnp.float32) * cw[:, :, None, :]
+        out = out + acc.reshape(B, M, D, Lq, P).sum(-1)
         start += H * W
     assert start == S, f"sum of spatial shapes {start} != value length {S}"
-    return out.reshape(B, Lq, M * D)
+    return out.transpose(0, 3, 1, 2).reshape(B, Lq, M * D)
 
 
 def _msda_core_matmul_impl(value, sampling_locations, attention_weights, *, spatial_shapes):
@@ -112,14 +137,21 @@ def _msda_core_matmul_impl(value, sampling_locations, attention_weights, *, spat
     B, S, M, D = value.shape
     Lq = sampling_locations.shape[1]
 
-    def per_batch(args):
-        vb, lb, wb = args            # (S, M, D), (Lq, M, L, P, 2), (Lq, M, L, P)
-        outs = []
+    # flatten (batch, head) → one map body instance in the XLA graph
+    v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
+    loc_bm = sampling_locations.transpose(0, 2, 1, 3, 4, 5).reshape(
+        B * M, Lq, len(spatial_shapes), -1, 2)
+    aw_bm = attention_weights.transpose(0, 2, 1, 3, 4).reshape(
+        B * M, Lq, len(spatial_shapes), -1)
+
+    def per_bm(args):
+        vb, lb, wb = args            # (S, D), (Lq, L, P, 2), (Lq, L, P)
+        out = jnp.zeros((Lq, vb.shape[-1]), jnp.float32)
         start = 0
         for lvl, (H, W) in enumerate(spatial_shapes):
             v_l = jax.lax.dynamic_slice_in_dim(vb, start, H * W, axis=0)
-            loc = lb[:, :, lvl].astype(jnp.float32)          # (Lq, M, P, 2)
-            aw = wb[:, :, lvl].astype(jnp.float32)           # (Lq, M, P)
+            loc = lb[:, lvl].astype(jnp.float32)              # (Lq, P, 2)
+            aw = wb[:, lvl].astype(jnp.float32)               # (Lq, P)
             x = loc[..., 0] * W - 0.5
             y = loc[..., 1] * H - 0.5
             x0 = jnp.floor(x)
@@ -130,32 +162,25 @@ def _msda_core_matmul_impl(value, sampling_locations, attention_weights, *, spat
             y0i = y0.astype(jnp.int32)
             s_iota = jnp.arange(H * W, dtype=jnp.int32)
 
-            def corner(xi, yi, w):
-                valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-                idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-                cw = (w * valid.astype(w.dtype) * aw)         # (Lq, M, P)
-                # (Lq, M, P, S_l) comparison reduced over P on the fly
-                return jnp.einsum(
-                    "qmp,qmps->qms",
-                    cw,
-                    (idx[..., None] == s_iota).astype(jnp.float32),
-                )
-
-            Wmat = corner(x0i, y0i, (1 - tx) * (1 - ty))
-            Wmat = Wmat + corner(x0i + 1, y0i, tx * (1 - ty))
-            Wmat = Wmat + corner(x0i, y0i + 1, (1 - tx) * ty)
-            Wmat = Wmat + corner(x0i + 1, y0i + 1, tx * ty)
-            out_l = jnp.einsum(
-                "qms,smd->qmd",
-                Wmat.astype(v_l.dtype),
-                v_l,
-                preferred_element_type=jnp.float32,
-            )
-            outs.append(out_l)
+            Wmat = jnp.zeros((Lq, H * W), jnp.float32)
+            for p in range(loc.shape[1]):  # static P loop → 16 fused terms
+                for xi, yi, w in (
+                    (x0i[:, p], y0i[:, p], (1 - tx[:, p]) * (1 - ty[:, p])),
+                    (x0i[:, p] + 1, y0i[:, p], tx[:, p] * (1 - ty[:, p])),
+                    (x0i[:, p], y0i[:, p] + 1, (1 - tx[:, p]) * ty[:, p]),
+                    (x0i[:, p] + 1, y0i[:, p] + 1, tx[:, p] * ty[:, p]),
+                ):
+                    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+                    idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+                    cw = w * valid.astype(w.dtype) * aw[:, p]     # (Lq,)
+                    Wmat = Wmat + cw[:, None] * (idx[:, None] == s_iota)
+            out = out + jnp.dot(Wmat.astype(v_l.dtype), v_l,
+                                preferred_element_type=jnp.float32)
             start += H * W
-        return sum(outs)
+        return out                                            # (Lq, D)
 
-    out = jax.lax.map(per_batch, (value, sampling_locations, attention_weights))
+    out = jax.lax.map(per_bm, (v_bm, loc_bm, aw_bm))          # (B*M, Lq, D)
+    out = out.reshape(B, M, Lq, -1).transpose(0, 2, 1, 3)
     return out.reshape(B, Lq, M * D)
 
 

@@ -30,7 +30,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.augment import train_augment, val_preprocess
-from ..losses import LOSSES, dc_loss, pixel_accuracy, weighted_ce_pair
+from ..losses import LOSSES, ch_iou, dc_loss, isi_iou, pixel_accuracy, weighted_ce_pair
 from ..models.segmentor import AdapterSegmentor
 from ..parallel.mesh import fsdp_shard_params, get_mesh, replicate_tree, shard_batch
 from .schedules import cosine_annealing
@@ -162,7 +162,15 @@ class Trainer:
             dice = 1.0 - dc_loss(probs, masks)        # reference: dice = 1 - DC (:618)
             acc1 = pixel_accuracy(logits, masks)
             preds = jnp.argmax(logits, axis=-1)
-            return {"loss": loss, "dice": dice, "acc1": acc1}, preds
+            metrics = {"loss": loss, "dice": dice, "acc1": acc1}
+            if logits.shape[-1] > 2:
+                # EndoVis challenge metrics, per image then averaged
+                # (train_multi_class.py:587-597, segloss/iou_multi.py:51-88)
+                C = logits.shape[-1]
+                metrics["ch_iou"] = jax.vmap(
+                    lambda t, p: ch_iou(t, p, num_classes=C))(masks, preds).mean()
+                metrics["isi_iou"] = jax.vmap(isi_iou)(masks, preds).mean()
+            return metrics, preds
 
         data_sh = NamedSharding(self.mesh, P("data"))
         return jax.jit(step, in_shardings=(None, data_sh, data_sh))

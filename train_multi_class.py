@@ -1,0 +1,23 @@
+#!/usr/bin/env python
+"""Multi-class trainer (reference train_multi_class.py): 8-class EndoVis2017
+instrument segmentation with the soft IoU loss (:393) and ch_iou/isi_iou eval
+metrics (:587-589). The reference script is unrunnable as-is (missing imports,
+SURVEY §2.12 #5); this shim is the working equivalent."""
+
+import os
+
+import train as _train
+
+if __name__ == "__main__":
+    parser = _train.get_args_parser()
+    parser.add_argument("--cross_test_path", default="", type=str,
+                        help="optional second validation dataset root")
+    args = parser.parse_args()
+    if args.num_labels == 1000:  # untouched default → multi-class recipe
+        args.num_classes = 8
+    if args.loss == "dc":
+        args.loss = "iou_multi"
+    if args.dataset == "robomis":
+        args.dataset = "endovis2017"
+    os.makedirs(args.output_dir, exist_ok=True)
+    _train.train_seg(args)
