@@ -19,7 +19,7 @@ Design deltas (TPU-first, on purpose):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +140,32 @@ def _sdpa_flash(q, k, v, scale):
         sm_scale=scale,
     )
     return out.transpose(0, 2, 1, 3)[:, :N]
+
+
+def windowed_sdpa(q, k, v, scale, hw: Tuple[int, int], window: int, dtype):
+    """Windowed attention (reference:
+    dinov2/eval/segmentation_m2f/models/backbones/vit.py:224-316): pad the token
+    grid to a window multiple, attend within non-overlapping windows, reverse.
+    Operates on patch tokens only (no cls)."""
+    B, N, H, Dh = q.shape
+    h, w = hw
+    pad_h = (-h) % window
+    pad_w = (-w) % window
+
+    def to_windows(t):
+        t = t.reshape(B, h, w, H, Dh)
+        t = jnp.pad(t, ((0, 0), (0, pad_h), (0, pad_w), (0, 0), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
+        t = t.reshape(B, hp // window, window, wp // window, window, H, Dh)
+        return t.transpose(0, 1, 3, 2, 4, 5, 6).reshape(-1, window * window, H, Dh), (hp, wp)
+
+    qw, (hp, wp) = to_windows(q)
+    kw, _ = to_windows(k)
+    vw, _ = to_windows(v)
+    out = _sdpa_einsum(qw, kw, vw, scale, dtype)
+    out = out.reshape(B, hp // window, wp // window, window, window, H, Dh)
+    out = out.transpose(0, 1, 3, 2, 4, 5, 6).reshape(B, hp, wp, H, Dh)
+    return out[:, :h, :w].reshape(B, N, H, Dh)
 
 
 class Attention(nn.Module):

@@ -122,75 +122,12 @@ def _msda_core_impl(value, sampling_locations, attention_weights, *, spatial_sha
     return out.transpose(0, 3, 1, 2).reshape(B, Lq, M * D)
 
 
-def _msda_core_matmul_impl(value, sampling_locations, attention_weights, *, spatial_shapes):
-    """MXU formulation: fold reference points, bilinear corner weights and
-    attention weights into ONE dense (Lq, S_l) sampling matrix per (batch, head,
-    level), then out = W @ value_l.
-
-    Rationale (measured on v5e): XLA's random row gather runs at ~6% of HBM
-    bandwidth (65 ms per CAViT call at 588px/bs8), while this trades it for
-    ~200 GFLOP of MXU matmul + a fused compare-accumulate pass — ~10× faster.
-    The matrix is built on the fly with 16 fused comparisons per element
-    (4 points × 4 corners); XLA fuses them into a single VPU pass feeding the
-    matmul. lax.map over batch bounds the (M, Lq, S) transient to ~200 MB.
-    """
-    B, S, M, D = value.shape
-    Lq = sampling_locations.shape[1]
-
-    # flatten (batch, head) → one map body instance in the XLA graph
-    v_bm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
-    loc_bm = sampling_locations.transpose(0, 2, 1, 3, 4, 5).reshape(
-        B * M, Lq, len(spatial_shapes), -1, 2)
-    aw_bm = attention_weights.transpose(0, 2, 1, 3, 4).reshape(
-        B * M, Lq, len(spatial_shapes), -1)
-
-    def per_bm(args):
-        vb, lb, wb = args            # (S, D), (Lq, L, P, 2), (Lq, L, P)
-        out = jnp.zeros((Lq, vb.shape[-1]), jnp.float32)
-        start = 0
-        for lvl, (H, W) in enumerate(spatial_shapes):
-            v_l = jax.lax.dynamic_slice_in_dim(vb, start, H * W, axis=0)
-            loc = lb[:, lvl].astype(jnp.float32)              # (Lq, P, 2)
-            aw = wb[:, lvl].astype(jnp.float32)               # (Lq, P)
-            x = loc[..., 0] * W - 0.5
-            y = loc[..., 1] * H - 0.5
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            tx = x - x0
-            ty = y - y0
-            x0i = x0.astype(jnp.int32)
-            y0i = y0.astype(jnp.int32)
-            s_iota = jnp.arange(H * W, dtype=jnp.int32)
-
-            Wmat = jnp.zeros((Lq, H * W), jnp.float32)
-            for p in range(loc.shape[1]):  # static P loop → 16 fused terms
-                for xi, yi, w in (
-                    (x0i[:, p], y0i[:, p], (1 - tx[:, p]) * (1 - ty[:, p])),
-                    (x0i[:, p] + 1, y0i[:, p], tx[:, p] * (1 - ty[:, p])),
-                    (x0i[:, p], y0i[:, p] + 1, (1 - tx[:, p]) * ty[:, p]),
-                    (x0i[:, p] + 1, y0i[:, p] + 1, tx[:, p] * ty[:, p]),
-                ):
-                    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-                    idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-                    cw = w * valid.astype(w.dtype) * aw[:, p]     # (Lq,)
-                    Wmat = Wmat + cw[:, None] * (idx[:, None] == s_iota)
-            out = out + jnp.dot(Wmat.astype(v_l.dtype), v_l,
-                                preferred_element_type=jnp.float32)
-            start += H * W
-        return out                                            # (Lq, D)
-
-    out = jax.lax.map(per_bm, (v_bm, loc_bm, aw_bm))          # (B*M, Lq, D)
-    out = out.reshape(B, M, Lq, -1).transpose(0, 2, 1, 3)
-    return out.reshape(B, Lq, M * D)
-
-
 def ms_deform_attn_core(
     value: jax.Array,                       # (B, S_total, M, D)
     spatial_shapes: Sequence[Tuple[int, int]],  # static [(H, W), ...]
     sampling_locations: jax.Array,          # (B, Lq, M, L, P, 2) in [0,1]
     attention_weights: jax.Array,           # (B, Lq, M, L, P), softmaxed over L*P
     force_fp32: bool = True,
-    impl: str = "gather",
 ) -> jax.Array:
     """Reference math of ms_deform_attn_core_pytorch (:33-54), XLA-gather form.
 
@@ -209,8 +146,9 @@ def ms_deform_attn_core(
     in_dtype = value.dtype
     if force_fp32:
         value = value.astype(jnp.float32)
-    fn = _msda_core_impl if impl == "gather" else _msda_core_matmul_impl
-    core = jax.checkpoint(functools.partial(fn, spatial_shapes=tuple(spatial_shapes)))
+    core = jax.checkpoint(
+        functools.partial(_msda_core_impl, spatial_shapes=tuple(spatial_shapes))
+    )
     out = core(value, sampling_locations, attention_weights.astype(jnp.float32))
     return out.astype(in_dtype)
 
