@@ -27,11 +27,18 @@ from PIL import Image
 
 
 class SegDataset:
-    """Minimal indexable dataset protocol: __len__, __getitem__ → (img, mask, idx)."""
+    """Minimal indexable dataset protocol: __len__, __getitem__ → (img, mask, idx).
+
+    When the native C++ runtime (runtime/image_io.cc) is built, decode + resize
+    run there (PIL-exact for gray/nearest, ±1 level for bilinear); otherwise the
+    PIL path reproduces the reference exactly (tools/dataset.py:139-150).
+    `use_native` requires single-channel label masks (what our converters emit).
+    """
 
     img_files: List[str]
     mask_files: List[str]
     imsize: Optional[int] = None
+    use_native: bool = True
 
     def __len__(self) -> int:
         return len(self.img_files)
@@ -39,7 +46,30 @@ class SegDataset:
     def _decode_mask(self, mask: Image.Image) -> np.ndarray:
         raise NotImplementedError
 
+    def _decode_mask_array(self, mask: np.ndarray) -> np.ndarray:
+        """Array equivalent of _decode_mask for the native path."""
+        raise NotImplementedError
+
+    def _native_item(self, index: int):
+        from . import native
+
+        if not (self.use_native and self.imsize is not None and native.available()):
+            return None
+        size = (self.imsize, self.imsize)
+        img = native.load_image(self.img_files[index], size, "rgb", "bilinear")
+        raw = native.load_image(self.mask_files[index], size, "gray", "nearest")
+        if img is None or raw is None:
+            return None
+        try:
+            mask = self._decode_mask_array(raw)
+        except NotImplementedError:
+            return None
+        return img, mask.astype(np.int32), index
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray, int]:
+        fast = self._native_item(index)
+        if fast is not None:
+            return fast
         with open(self.img_files[index], "rb") as f:
             img = Image.open(f).convert("RGB")
         with open(self.mask_files[index], "rb") as f:
@@ -65,6 +95,9 @@ class Robomis(SegDataset):
     def _decode_mask(self, mask: Image.Image) -> np.ndarray:
         return (np.asarray(mask) > 0).astype(np.int32)
 
+    def _decode_mask_array(self, mask: np.ndarray) -> np.ndarray:
+        return (mask > 0).astype(np.int32)
+
 
 class EndoVis2017(SegDataset):
     """instrument_dataset_{1..8} train / {1..10} test; binary or /32 instrument
@@ -87,7 +120,9 @@ class EndoVis2017(SegDataset):
             ]
 
     def _decode_mask(self, mask: Image.Image) -> np.ndarray:
-        m = np.asarray(mask)
+        return self._decode_mask_array(np.asarray(mask))
+
+    def _decode_mask_array(self, m: np.ndarray) -> np.ndarray:
         if self.problem_type == "binary":
             return (m > 0).astype(np.int32)
         return (m // 32).astype(np.int32)  # factor-32 label decode (:50-51)
@@ -115,6 +150,9 @@ class CholecSeg8k(SegDataset):
     """CholecSeg8k processed layout: images/<split>, annotations/<split>
     (tools/process_cholec8k.py output)."""
 
+    def _decode_mask_array(self, m: np.ndarray) -> np.ndarray:
+        return m.astype(np.int32)
+
     def __init__(self, dir_main: str, split: str, imsize: Optional[int] = None):
         self.imsize = imsize
         self.img_files = sorted(glob.glob(os.path.join(dir_main, "images", split, "*.png")))
@@ -130,6 +168,9 @@ class AutoLaparo(SegDataset):
     """AutoLaparo Task 3 layout: imgs/ and masks/ with train/val/test splits.
     The reference class is unrunnable (tools/dataset.py:186) — this follows its
     evident intent."""
+
+    def _decode_mask_array(self, m: np.ndarray) -> np.ndarray:
+        return m.astype(np.int32)
 
     def __init__(self, dir_main: str, split: str, imsize: Optional[int] = None):
         self.imsize = imsize

@@ -13,11 +13,11 @@ Math (identical to the reference):
     tap   = bilinear(value_l[m], x_pix, y_pix)  (zeros outside)
   out[q, m] = sum_{l,p} softmax_weights[q, m, l, p] * tap
 
-TPU formulation: instead of grid_sample, we precompute the 4 integer corner ids +
-weights and express the sample as `take_along_axis` over the flattened level buffer,
-followed by an einsum reduce — everything maps to VPU gathers + MXU-friendly
-contractions, all statically shaped. A fused Pallas kernel (ops/pallas/) can be
-swapped in behind the same function signature.
+TPU formulation: the 4 bilinear corner taps of all points/levels become ONE
+`take_along_axis` per level over the MINOR (lane) axis of a (B, M, D, S) value
+buffer — the only gather layout TPUs execute fast (see _msda_core_impl) — with the
+weight-multiply + corner/point reduction folded into a single einsum. The core is
+jax.checkpoint'd so the backward rematerializes gathers instead of storing them.
 
 The reference forces this op to fp32 under AMP (custom_fwd(cast_inputs=float32),
 :19); we do the same by upcasting inside `ms_deform_attn_core`.
@@ -35,45 +35,6 @@ import numpy as np
 from flax import linen as nn
 
 Dtype = Any
-
-
-def _bilinear_gather_level(
-    value_l: jax.Array,   # (B, H*W, M, D) fp32
-    loc: jax.Array,       # (B, Lq, M, P, 2) in [0,1], fp32
-    H: int,
-    W: int,
-) -> jax.Array:
-    """grid_sample(bilinear, zeros, align_corners=False) as corner gathers.
-
-    Returns (B, Lq, M, P, D).
-    """
-    B, S, M, D = value_l.shape
-    _, Lq, _, P, _ = loc.shape
-    x = loc[..., 0] * W - 0.5
-    y = loc[..., 1] * H - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = x - x0
-    ty = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    # (B, M, S, D) so the gather axis is contiguous per (batch, head)
-    v = value_l.transpose(0, 2, 1, 3)
-
-    def corner(xi: jax.Array, yi: jax.Array, w: jax.Array) -> jax.Array:
-        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)  # (B, Lq, M, P)
-        idx_bm = idx.transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
-        g = jnp.take_along_axis(v, idx_bm[..., None], axis=2)      # (B, M, Lq*P, D)
-        g = g.reshape(B, M, Lq, P, D).transpose(0, 2, 1, 3, 4)
-        return g * (w * valid.astype(w.dtype))[..., None].astype(g.dtype)
-
-    out = corner(x0i, y0i, (1 - tx) * (1 - ty))
-    out = out + corner(x0i + 1, y0i, tx * (1 - ty))
-    out = out + corner(x0i, y0i + 1, (1 - tx) * ty)
-    out = out + corner(x0i + 1, y0i + 1, tx * ty)
-    return out
 
 
 def _msda_core_impl(value, sampling_locations, attention_weights, *, spatial_shapes):
@@ -103,7 +64,9 @@ def _msda_core_impl(value, sampling_locations, attention_weights, *, spatial_sha
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
 
-        acc = jnp.zeros((B, M, D, Lq * P), jnp.float32)
+        # merge the 4 bilinear corners into ONE gather (and one scatter in the
+        # backward) — fewer gather ops at identical byte volume
+        idx_list, cw_list = [], []
         for xi, yi, w in (
             (x0i, y0i, (1 - tx) * (1 - ty)),
             (x0i + 1, y0i, tx * (1 - ty)),
@@ -112,11 +75,21 @@ def _msda_core_impl(value, sampling_locations, attention_weights, *, spatial_sha
         ):
             valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
             idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)  # (B, Lq, M, P)
-            idx_bm = idx.transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
-            cw = (w * valid.astype(w.dtype) * aw).transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
-            g = jnp.take_along_axis(v_l, idx_bm[:, :, None, :], axis=3)  # (B, M, D, Lq*P)
-            acc = acc + g.astype(jnp.float32) * cw[:, :, None, :]
-        out = out + acc.reshape(B, M, D, Lq, P).sum(-1)
+            idx_list.append(idx.transpose(0, 2, 1, 3).reshape(B, M, Lq * P))
+            cw_list.append(
+                (w * valid.astype(w.dtype) * aw).transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
+            )
+        idx_all = jnp.concatenate(idx_list, axis=-1)          # (B, M, 4*Lq*P)
+        cw_all = jnp.concatenate(cw_list, axis=-1)
+        g = jnp.take_along_axis(v_l, idx_all[:, :, None, :], axis=3)  # (B, M, D, 4LqP)
+        # fold weight-multiply + corner/point reduction into one contraction so the
+        # f32 product never materializes
+        out = out + jnp.einsum(
+            "bmdcqp,bmcqp->bmdq",
+            g.reshape(B, M, D, 4, Lq, P),
+            cw_all.reshape(B, M, 4, Lq, P).astype(g.dtype),
+            preferred_element_type=jnp.float32,
+        )
         start += H * W
     assert start == S, f"sum of spatial shapes {start} != value length {S}"
     return out.transpose(0, 3, 1, 2).reshape(B, Lq, M * D)
