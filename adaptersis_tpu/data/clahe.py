@@ -144,19 +144,18 @@ def clahe_channel(img: jax.Array, clip_limit: float = 4.0, tiles: int = 8) -> ja
 
     v = x.astype(jnp.int32)
 
-    def sample(yi, xi):
-        # lut[yi[h], xi[w], v[h,w]] — gather via flattened index
-        flat = lut.reshape(T, 256)
-        tidx = yi[:, None] * tiles + xi[None, :]
-        return flat[tidx.reshape(-1), v.reshape(-1)].reshape(Hp, Wp)
-
-    out = (
-        sample(y0, x0) * (1 - ay) * (1 - ax)
-        + sample(y0, x1) * (1 - ay) * ax
-        + sample(y1, x0) * ay * (1 - ax)
-        + sample(y1, x1) * ay * ax
-    )
-    out = jnp.round(out).astype(jnp.uint8)
+    # ONE flattened-LUT gather for all 4 neighboring tiles (1-D source keeps the
+    # gather on the fast minor-axis path; see ops/ms_deform_attn.py layout note)
+    lut_flat = lut.reshape(T * 256)
+    tile_idx = jnp.stack([
+        y0[:, None] * tiles + x0[None, :],
+        y0[:, None] * tiles + x1[None, :],
+        y1[:, None] * tiles + x0[None, :],
+        y1[:, None] * tiles + x1[None, :],
+    ])                                                   # (4, Hp, Wp)
+    vals = jnp.take(lut_flat, tile_idx * 256 + v[None], axis=0)
+    w4 = jnp.stack([(1 - ay) * (1 - ax), (1 - ay) * ax, ay * (1 - ax), ay * ax])
+    out = jnp.round((vals * w4).sum(0)).astype(jnp.uint8)
     return out[:H, :W]
 
 
