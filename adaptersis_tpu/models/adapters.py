@@ -132,6 +132,7 @@ class CAViT(nn.Module):
     n_levels: int = 3
     deform_ratio: float = 1.0
     init_values: float = 0.0
+    msda_impl: str = "gather"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -154,6 +155,7 @@ class CAViT(nn.Module):
             n_heads=self.num_heads,
             n_points=self.n_points,
             ratio=self.deform_ratio,
+            impl=self.msda_impl,
             dtype=self.dtype,
             name="attn",
         )(q, ref, f, spatial_shapes)
@@ -172,6 +174,7 @@ class CACNN(nn.Module):
     deform_ratio: float = 1.0
     with_cffn: bool = True
     cffn_ratio: float = 0.25
+    msda_impl: str = "gather"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -195,6 +198,7 @@ class CACNN(nn.Module):
             n_heads=self.num_heads,
             n_points=self.n_points,
             ratio=self.deform_ratio,
+            impl=self.msda_impl,
             dtype=self.dtype,
             name="attn",
         )(q, ref, f, spatial_shapes)

@@ -60,6 +60,7 @@ class AdapterSegmentor(nn.Module):
     adapter_n_points: int = 4
     parity_frozen_head: bool = False     # reproduce train.py:389-406 no_grad quirk
     mla_last_block_bug: bool = False     # reproduce train_mla.py:339-341
+    msda_impl: str = "gather"            # deformable-attention impl (see ops/)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -67,11 +68,12 @@ class AdapterSegmentor(nn.Module):
         self.encoder = FeatureEncoder(embed_dim=E, dtype=self.dtype)
         self.cross_vit = CAViT(
             dim=E, num_heads=self.adapter_num_heads, n_points=self.adapter_n_points,
-            n_levels=3, init_values=0.0, dtype=self.dtype,
+            n_levels=3, init_values=0.0, msda_impl=self.msda_impl, dtype=self.dtype,
         )
         self.cross_cnn = CACNN(
             dim=E, num_heads=self.adapter_num_heads, n_points=self.adapter_n_points,
-            n_levels=1, with_cffn=True, cffn_ratio=0.25, dtype=self.dtype,
+            n_levels=1, with_cffn=True, cffn_ratio=0.25, msda_impl=self.msda_impl,
+            dtype=self.dtype,
         )
         self.level_embed = self.param("level_embed", nn.initializers.zeros, (3, E), jnp.float32)
         if self.decoder_type == "feature":

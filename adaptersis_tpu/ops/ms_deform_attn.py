@@ -155,6 +155,9 @@ class MSDeformAttn(nn.Module):
     # path we default to bf16 gathers + fp32 accumulation instead (half the HBM
     # transients); set force_fp32=True for bit-parity benchmarking.
     force_fp32: bool = False
+    # "gather" (lane-axis take_along_axis) | "matmul" (dense sampling-matrix MXU
+    # formulation with a hand-written VJP, ops/msda_matmul.py)
+    impl: str = "gather"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -210,10 +213,16 @@ class MSDeformAttn(nn.Module):
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )
 
-        out = ms_deform_attn_core(
-            value, spatial_shapes, locations, weights,
-            force_fp32=self.force_fp32 or self.dtype == jnp.float32,
-        )
+        if self.impl == "matmul":
+            from .msda_matmul import msda_matmul
+
+            out = msda_matmul(value, locations, weights, tuple(
+                tuple(hw) for hw in spatial_shapes)).astype(value.dtype)
+        else:
+            out = ms_deform_attn_core(
+                value, spatial_shapes, locations, weights,
+                force_fp32=self.force_fp32 or self.dtype == jnp.float32,
+            )
         return nn.Dense(
             self.d_model,
             kernel_init=nn.initializers.xavier_uniform(),

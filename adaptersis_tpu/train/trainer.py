@@ -48,6 +48,7 @@ class TrainerConfig:
     fsdp: int = 1
     seed: int = 0
     train_backbone: bool = False   # True for the setr_ete end-to-end variant
+    msda_impl: str = "gather"      # deformable-attention impl (model must match)
 
 
 class Trainer:

@@ -75,6 +75,10 @@ def get_args_parser():
                         " (train.py:389-406 no_grad)")
     p.add_argument("--platform", default=None, type=str,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--msda_impl", default="gather", choices=["gather", "matmul"],
+                   help="deformable-attention implementation: lane-gather (fast "
+                        "compile) or dense sampling-matrix matmul (~2x faster "
+                        "step, minutes-long first compile)")
     return p
 
 
@@ -130,6 +134,7 @@ def train_seg(args):
             n_last_blocks=args.n_last_blocks,
             decoder_type=args.decoder,
             parity_frozen_head=args.parity_frozen_head,
+            msda_impl=args.msda_impl,
             dtype=dtype,
         )
     else:
