@@ -20,13 +20,19 @@ import time
 import numpy as np
 
 A100_EST_IMG_S = 10.0  # see module docstring
-BATCH = 8
+BATCH = 16
 IMSIZE = 588
 STEPS = 10
 
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: the matmul deformable-attention program takes
+    # minutes to compile via this image's remote-compile tunnel; cache it so
+    # repeat bench runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import jax.numpy as jnp
 
     from adaptersis_tpu.models import AdapterSegmentor, build_backbone
