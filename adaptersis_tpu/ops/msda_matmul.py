@@ -110,9 +110,10 @@ def _msda_bwd(spatial_shapes, res, g):
         vb, lb, wb, gb = args  # (S,M,D), (Lq,M,L,P,2), (Lq,M,L,P), (Lq,M,D)
 
         def per_head(vm, lm, wm, gm):  # (S,D), (Lq,L,P,2), (Lq,L,P), (Lq,D)
-            dv = jnp.zeros((S, D), jnp.float32)
-            dloc = jnp.zeros((Lq, L, P, 2), jnp.float32)
-            daw = jnp.zeros((Lq, L, P), jnp.float32)
+            # levels write DISJOINT value rows and disjoint (·, lvl) slices —
+            # build per-level pieces and concat/stack (no .at scatters, which
+            # lower poorly under vmap on TPU)
+            dv_parts, dl_parts, da_parts = [], [], []
             start = 0
             for lvl, (H, W) in enumerate(spatial_shapes):
                 v_l = jax.lax.dynamic_slice_in_dim(vm, start, H * W, axis=0)
@@ -125,24 +126,27 @@ def _msda_bwd(spatial_shapes, res, g):
                 for idx, cw, *_ in corners:
                     for p in range(P):
                         A = A + cw[:, p, None] * (idx[:, p, None] == s_iota)
-                dv_l = jnp.dot(A.T.astype(gm.dtype), gm,
-                               preferred_element_type=jnp.float32)  # (HW, D)
-                dv = dv.at[start:start + H * W].add(dv_l)
+                dv_parts.append(jnp.dot(A.T.astype(gm.dtype), gm,
+                                        preferred_element_type=jnp.float32))
                 # dA[q, s] = Σ_d g[q,d]·V[s,d] — ONE matmul, then per-corner values
                 # are tiny (Lq, P) minor-axis gathers of dA_full
                 dA_full = jnp.dot(gm, v_l.T.astype(gm.dtype),
                                   preferred_element_type=jnp.float32)  # (Lq, HW)
-                dl = jnp.zeros((Lq, P, 2), jnp.float32)
+                dlx = jnp.zeros((Lq, P), jnp.float32)
+                dly = jnp.zeros((Lq, P), jnp.float32)
                 da = jnp.zeros((Lq, P), jnp.float32)
                 for idx, cw, valid, wfn, dwdx, dwdy in corners:
                     dA_i = jnp.take_along_axis(dA_full, idx, axis=1)   # (Lq, P)
                     da = da + dA_i * wfn * valid
                     scale = dA_i * valid * aw
-                    dl = dl.at[:, :, 0].add(scale * dwdx * W)
-                    dl = dl.at[:, :, 1].add(scale * dwdy * H)
-                dloc = dloc.at[:, lvl].set(dl)
-                daw = daw.at[:, lvl].set(da)
+                    dlx = dlx + scale * dwdx * W
+                    dly = dly + scale * dwdy * H
+                dl_parts.append(jnp.stack([dlx, dly], axis=-1))        # (Lq, P, 2)
+                da_parts.append(da)
                 start += H * W
+            dv = jnp.concatenate(dv_parts, axis=0)                     # (S, D)
+            dloc = jnp.stack(dl_parts, axis=1)                         # (Lq, L, P, 2)
+            daw = jnp.stack(da_parts, axis=1)                          # (Lq, L, P)
             return dv, dloc, daw
 
         return jax.vmap(per_head, in_axes=(1, 1, 1, 1), out_axes=(1, 1, 1))(vb, lb, wb, gb)
