@@ -53,12 +53,15 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for bidx in self._index_batches():
-                    if stop.is_set():
-                        return
-                    q.put(self._collate(pool, bidx))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for bidx in self._index_batches():
+                        if stop.is_set():
+                            return
+                        q.put(self._collate(pool, bidx))
+                q.put(None)
+            except BaseException as e:  # propagate worker errors, never deadlock
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -67,6 +70,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -75,6 +75,9 @@ def get_args_parser():
                         " (train.py:389-406 no_grad)")
     p.add_argument("--platform", default=None, type=str,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--cross_test_path", default="", type=str,
+                   help="optional second validation dataset root (cross-dataset "
+                        "eval, reference eval_dinov2_setr_cross_ete.py:176,490)")
     p.add_argument("--msda_impl", default="gather", choices=["gather", "matmul"],
                    help="deformable-attention implementation: lane-gather (fast "
                         "compile) or dense sampling-matrix matmul (~2x faster "
@@ -176,6 +179,10 @@ def train_seg(args):
         ds_cls = DATASETS[args.dataset]
         ds_train = ds_cls(args.data_path, split="training", imsize=args.imsize)
         ds_val = ds_cls(args.data_path, split="validation", imsize=args.imsize)
+    ds_cross = None
+    if getattr(args, "cross_test_path", ""):
+        ds_cross = DATASETS[args.dataset](args.cross_test_path, split="validation",
+                                          imsize=args.imsize)
 
     n_dev_batch = args.batch_size_per_gpu * jax.device_count()
     sampler = EpochSampler(len(ds_train), shuffle=True, seed=args.seed,
@@ -184,6 +191,9 @@ def train_seg(args):
                               num_workers=args.num_workers)
     val_loader = DataLoader(ds_val, batch_size=n_dev_batch,
                             num_workers=args.num_workers, drop_last=False)
+    cross_loader = DataLoader(ds_cross, batch_size=n_dev_batch,
+                              num_workers=args.num_workers, drop_last=False) \
+        if ds_cross is not None else None
     print(f"Data loaded with {len(ds_train)} train and {len(ds_val)} val imgs.")
 
     # ---- state init + resume ----
@@ -197,9 +207,9 @@ def train_seg(args):
     start_epoch = int(state["epoch"])
     best_acc = float(state["best_acc"])
 
-    def validate(state):
+    def validate(state, loader=None):
         logger = MetricLogger(delimiter="  ")
-        for imgs, masks, _ in val_loader:
+        for imgs, masks, _ in (loader if loader is not None else val_loader):
             if imgs.shape[0] % jax.device_count():
                 pad = -imgs.shape[0] % jax.device_count()
                 imgs = np.concatenate([imgs, imgs[:pad]])
@@ -237,6 +247,9 @@ def train_seg(args):
             best_acc = max(best_acc, test_stats["acc1"])
             print(f"Max accuracy so far: {best_acc * 100:.2f}%")
             log_stats.update({f"test_{k}": v for k, v in test_stats.items()})
+            if cross_loader is not None:
+                cross_stats = validate(state, cross_loader)
+                log_stats.update({f"cross_{k}": v for k, v in cross_stats.items()})
 
         if is_main_process():
             with (Path(args.output_dir) / "log.txt").open("a") as f:

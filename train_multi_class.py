@@ -10,8 +10,6 @@ import train as _train
 
 if __name__ == "__main__":
     parser = _train.get_args_parser()
-    parser.add_argument("--cross_test_path", default="", type=str,
-                        help="optional second validation dataset root")
     args = parser.parse_args()
     if args.num_labels == 1000:  # untouched default → multi-class recipe
         args.num_classes = 8
