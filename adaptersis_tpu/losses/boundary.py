@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.edt import edt, edt_signed_pair, penalized_distance_map
+from ..ops.edt import edt_signed_pair, penalized_distance_map
 from .dice import soft_dice_loss
 from .functional import one_hot_cl, softmax_cl
 

@@ -9,7 +9,6 @@ reproduces that by passing softmaxed probs into dc_loss, which softmaxes again.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Design deltas (TPU-first, on purpose):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Tuple  # noqa: F401
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

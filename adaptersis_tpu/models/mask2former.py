@@ -22,8 +22,7 @@ Compact TPU-native re-implementation:
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.resize import resize_bilinear, resize_nearest
+from ..ops.resize import resize_bilinear
 from .decoders import DecoderSETR, FCUUp
 from .masktrans import MaskTransformer
 from .unet_parts import DoubleConv, Down, FeatureUNet, OutConv, Up

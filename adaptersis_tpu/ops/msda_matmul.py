@@ -25,7 +25,6 @@ vmapped inside.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,8 @@ train loss (train.py:424-428), weighted-CE[0.1,10]+dice+acc1 validation
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
