@@ -49,3 +49,29 @@ def test_msda_module_matmul_impl():
         params = mod.init(jax.random.PRNGKey(0), q, ref, feat, shapes)
         outs[impl] = np.asarray(mod.apply(params, q, ref, feat, shapes))
     np.testing.assert_allclose(outs["gather"], outs["matmul"], rtol=1e-5, atol=1e-5)
+
+
+def test_train_step_impl_equivalence():
+    """A tiny fp32 train step must produce the same loss under both MSDA impls."""
+    import numpy as np
+    from adaptersis_tpu.data import SyntheticSeg
+    from adaptersis_tpu.models import AdapterSegmentor
+    from adaptersis_tpu.models.vit import DinoVisionTransformer
+    from adaptersis_tpu.parallel.mesh import get_mesh
+    from adaptersis_tpu.train import Trainer, TrainerConfig
+
+    ds = SyntheticSeg(n=4, imsize=56, seed=0)
+    imgs = np.stack([ds[i][0] for i in range(4)])
+    masks = np.stack([ds[i][1] for i in range(4)])
+    losses = {}
+    for impl in ("gather", "matmul"):
+        bb = DinoVisionTransformer(img_size=56, patch_size=14, embed_dim=64,
+                                   depth=5, num_heads=4)
+        model = AdapterSegmentor(backbone=bb, num_classes=2, n_last_blocks=4,
+                                 msda_impl=impl)
+        tr = Trainer(model, TrainerConfig(use_clahe=False),
+                     mesh=get_mesh(devices=jax.devices()[:1]))
+        state = tr.init_state((imgs, masks))
+        state, loss = tr.train_step(state, imgs, masks, jax.random.PRNGKey(0), epoch=0)
+        losses[impl] = float(loss)
+    assert abs(losses["gather"] - losses["matmul"]) < 1e-5, losses
