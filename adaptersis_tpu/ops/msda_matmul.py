@@ -29,6 +29,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# lax.map chunk: >1 vectorizes batch elements per iteration. Measured on v5e:
+# chunk 2 is perf-neutral but doubles the A transients and pushes the bs16
+# flagship step 43 MB over HBM — keep 1.
+_MAP_CHUNK = 1
+
 
 def _corner_terms(loc, aw, H, W):
     """loc (Lq, P, 2), aw (Lq, P) → list of 4 (idx (Lq,P) int32, cw (Lq,P),
@@ -82,7 +87,8 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes):
 
         return jax.vmap(per_head, in_axes=(1, 1, 1), out_axes=1)(vb, lb, wb)
 
-    out = jax.lax.map(per_batch, (value, sampling_locations, attention_weights))
+    out = jax.lax.map(per_batch, (value, sampling_locations, attention_weights),
+                      batch_size=_MAP_CHUNK if _MAP_CHUNK > 1 else None)
     return out.reshape(B, Lq, M * D)
 
 
@@ -151,7 +157,8 @@ def _msda_bwd(spatial_shapes, res, g):
         return jax.vmap(per_head, in_axes=(1, 1, 1, 1), out_axes=(1, 1, 1))(vb, lb, wb, gb)
 
     dv, dloc, daw = jax.lax.map(per_batch,
-                                (value, sampling_locations, attention_weights, g))
+                                (value, sampling_locations, attention_weights, g),
+                                batch_size=_MAP_CHUNK if _MAP_CHUNK > 1 else None)
     return (dv.astype(value.dtype), dloc.astype(sampling_locations.dtype),
             daw.astype(attention_weights.dtype))
 

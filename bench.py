@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 A100_EST_IMG_S = 10.0  # see module docstring
-BATCH = 16
+BATCH = 12
 IMSIZE = 588
 STEPS = 10
 
