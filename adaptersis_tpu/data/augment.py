@@ -107,10 +107,13 @@ def train_augment(
     geom_keys = jax.random.split(keys[0], B)
     images, masks = jax.vmap(per_sample_geom)(images, masks, geom_keys)
 
-    # --- CLAHE p=.8 (uint8 LAB-L, clip 4.0, 8×8 tiles) ---
+    # --- CLAHE p=.8 (uint8 LAB-L, clip ~ U(1,4) per image, 8×8 tiles) ---
+    # albumentations A.CLAHE(clip_limit=4.0) samples clip uniformly from (1, 4)
+    # on every application, not a fixed 4.0
     if use_clahe:
         do = jax.random.bernoulli(keys[1], clahe_p, (B,))
-        eq = clahe_rgb(images)
+        clip = jax.random.uniform(keys[7], (B,), minval=1.0, maxval=4.0)
+        eq = clahe_rgb(images, clip)
         images = jnp.where(do[:, None, None, None], eq, images)
 
     img_f = images.astype(jnp.float32)

@@ -86,8 +86,9 @@ def _reflect101_pad(x: jax.Array, ph: int, pw: int) -> jax.Array:
     return jnp.pad(x, ((0, ph), (0, pw)), mode="reflect")
 
 
-def clahe_channel(img: jax.Array, clip_limit: float = 4.0, tiles: int = 8) -> jax.Array:
-    """CLAHE on a single uint8 channel (H, W) → uint8."""
+def clahe_channel(img: jax.Array, clip_limit=4.0, tiles: int = 8) -> jax.Array:
+    """CLAHE on a single uint8 channel (H, W) → uint8. `clip_limit` may be a
+    traced scalar — it only enters the clip threshold arithmetic."""
     H, W = img.shape
     if H % tiles == 0 and W % tiles == 0:
         pad_h = pad_w = 0
@@ -159,14 +160,18 @@ def clahe_channel(img: jax.Array, clip_limit: float = 4.0, tiles: int = 8) -> ja
     return out[:H, :W]
 
 
-@partial(jax.jit, static_argnames=("clip_limit", "tiles"))
-def clahe_rgb(images: jax.Array, clip_limit: float = 4.0, tiles: int = 8) -> jax.Array:
+@partial(jax.jit, static_argnames=("tiles",))
+def clahe_rgb(images: jax.Array, clip_limit=4.0, tiles: int = 8) -> jax.Array:
     """Batched uint8 RGB (B, H, W, 3) → CLAHE-on-L uint8 RGB (albumentations
-    A.CLAHE semantics for color images)."""
+    A.CLAHE semantics for color images). `clip_limit` is a scalar or per-image
+    (B,) array — albumentations samples it U(1, clip_limit) per application
+    (A.CLAHE(clip_limit=4.0) → uniform (1, 4))."""
+    B = images.shape[0]
+    clip_limit = jnp.broadcast_to(jnp.asarray(clip_limit, jnp.float32), (B,))
     rgb01 = images.astype(jnp.float32) / 255.0
     lab = rgb_to_lab(rgb01)
     L8 = jnp.round(jnp.clip(lab[..., 0] * 255.0 / 100.0, 0, 255)).astype(jnp.uint8)
-    L8_eq = jax.vmap(lambda im: clahe_channel(im, clip_limit, tiles))(L8)
+    L8_eq = jax.vmap(lambda im, cl: clahe_channel(im, cl, tiles))(L8, clip_limit)
     L_new = L8_eq.astype(jnp.float32) * 100.0 / 255.0
     lab_new = jnp.stack([L_new, lab[..., 1], lab[..., 2]], axis=-1)
     rgb = lab_to_rgb(lab_new)

@@ -84,9 +84,17 @@ class InfiniteSampler:
 
 
 class ShardedInfiniteSampler:
-    """Resumable infinite sampler: each epoch-sized window is reshuffled with a
-    fresh seed derived from (seed, start, window_index) so a restart at sample
-    `advance` reproduces the exact remaining stream (samplers.py:165-229)."""
+    """Resumable infinite sampler (samplers.py:165-229 semantics):
+
+      * ONE global permutation seeded with `seed`; each rank takes the POSITIONAL
+        slice perm[rank::world_size] (truncated to size // world_size — the
+        reference's _shuffle_tensor_slice drops the remainder, :129-131)
+      * per window, the rank's slice is reshuffled with a fresh seed
+        _make_seed(seed, rank, iter_count) so whole windows can be skipped
+      * `advance` resume: whole windows are skipped by GLOBAL sample count
+        (advance // size), the remainder skips PER-RANK yields — exactly the
+        reference's islice(iterator, advance % size, None) (:197-200)
+    """
 
     def __init__(self, size: int, shuffle: bool = True, seed: int = 0,
                  rank: int = 0, world_size: int = 1, advance: int = 0):
@@ -97,19 +105,20 @@ class ShardedInfiniteSampler:
         self.world_size = world_size
         self.advance = advance
 
+    def _windows(self, iter_count: int) -> Iterator[int]:
+        rng0 = np.random.default_rng(self.seed)
+        perm = rng0.permutation(self.size) if self.shuffle else np.arange(self.size)
+        count = self.size // self.world_size
+        shard = perm[self.rank + np.arange(count) * self.world_size]
+        while True:
+            if self.shuffle:
+                rng = np.random.default_rng(_make_seed(self.seed, self.rank, iter_count))
+                yield from rng.permutation(shard).tolist()
+            else:
+                yield from shard.tolist()
+            iter_count += 1
+
     def __iter__(self) -> Iterator[int]:
         iter_count = self.advance // self.size
-        start = self.advance % self.size
-        first = True
-        while True:
-            rng = np.random.default_rng(_make_seed(self.seed, 0, iter_count))
-            order = np.arange(self.size)
-            if self.shuffle:
-                rng.shuffle(order)
-            window = order[start:] if first else order
-            for idx in window.tolist():
-                if idx % self.world_size == self.rank or self.world_size == 1:
-                    yield idx
-            first = False
-            start = 0
-            iter_count += 1
+        remainder = self.advance - iter_count * self.size
+        return itertools.islice(self._windows(iter_count), remainder, None)

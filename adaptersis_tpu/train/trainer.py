@@ -150,31 +150,47 @@ class Trainer:
     def _build_eval_step(self):
         model = self.model
 
-        def step(state, images_u8, masks):
+        def step(state, images_u8, masks, valid):
             x = val_preprocess(images_u8)
             variables = {
                 "params": {**state["params"], **state["frozen"]},
                 "batch_stats": state["batch_stats"],
             }
             logits = model.apply(variables, x, train=False)
-            probs = jax.nn.softmax(logits, axis=-1)
-            loss = weighted_ce_pair(logits, masks) if logits.shape[-1] == 2 else \
-                jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, masks))
-            dice = 1.0 - dc_loss(probs, masks)        # reference: dice = 1 - DC (:618)
-            acc1 = pixel_accuracy(logits, masks)
+            C = logits.shape[-1]
+            v = valid.astype(jnp.float32)
+            nv = jnp.maximum(v.sum(), 1.0)
+
+            def wmean(per_sample):
+                # padded duplicate rows (valid=0) are excluded from the average
+                return jnp.sum(per_sample * v) / nv
+
+            # per-sample metrics, masked-averaged. dc_loss takes RAW logits — it
+            # softmaxes internally, matching the reference validation which feeds
+            # logits straight to DC (train.py:617-618, single softmax).
+            if C == 2:
+                loss_ps = jax.vmap(lambda l, m: weighted_ce_pair(l[None], m[None]))
+            else:
+                loss_ps = jax.vmap(lambda l, m: jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(l, m)))
+            dice_ps = jax.vmap(lambda l, m: 1.0 - dc_loss(l[None], m[None]))
+            acc_ps = jax.vmap(lambda l, m: pixel_accuracy(l[None], m[None]))
             preds = jnp.argmax(logits, axis=-1)
-            metrics = {"loss": loss, "dice": dice, "acc1": acc1}
-            if logits.shape[-1] > 2:
+            metrics = {
+                "loss": wmean(loss_ps(logits, masks)),
+                "dice": wmean(dice_ps(logits, masks)),
+                "acc1": wmean(acc_ps(logits, masks)),
+            }
+            if C > 2:
                 # EndoVis challenge metrics, per image then averaged
                 # (train_multi_class.py:587-597, segloss/iou_multi.py:51-88)
-                C = logits.shape[-1]
-                metrics["ch_iou"] = jax.vmap(
-                    lambda t, p: ch_iou(t, p, num_classes=C))(masks, preds).mean()
-                metrics["isi_iou"] = jax.vmap(isi_iou)(masks, preds).mean()
+                metrics["ch_iou"] = wmean(jax.vmap(
+                    lambda t, p: ch_iou(t, p, num_classes=C))(masks, preds))
+                metrics["isi_iou"] = wmean(jax.vmap(isi_iou)(masks, preds))
             return metrics, preds
 
         data_sh = NamedSharding(self.mesh, P("data"))
-        return jax.jit(step, in_shardings=(None, data_sh, data_sh))
+        return jax.jit(step, in_shardings=(None, data_sh, data_sh, data_sh))
 
     # ---- public API ----
 
@@ -186,8 +202,14 @@ class Trainer:
         lr = jnp.asarray(self.lr_fn(epoch), jnp.float32)
         return self._train_step(state, images_u8, masks, rng, lr)
 
-    def eval_step(self, state, images_u8: np.ndarray, masks: np.ndarray):
+    def eval_step(self, state, images_u8: np.ndarray, masks: np.ndarray,
+                  valid: Optional[np.ndarray] = None):
+        """valid (B,) bool marks real rows; padded duplicates (added to reach a
+        device-count multiple) carry valid=False and are excluded from metrics."""
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-        images_u8, masks = shard_batch((images_u8, masks), self.mesh)
-        return self._eval_step(state, images_u8, masks)
+        if valid is None:
+            valid = np.ones((np.shape(images_u8)[0],), bool)
+        images_u8, masks, valid = shard_batch((images_u8, masks, np.asarray(valid)),
+                                              self.mesh)
+        return self._eval_step(state, images_u8, masks, valid)

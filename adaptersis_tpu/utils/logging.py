@@ -78,9 +78,11 @@ class MetricLogger:
         self.delimiter = delimiter
         self.output_file = output_file
 
-    def update(self, **kwargs) -> None:
+    def update(self, n: int = 1, **kwargs) -> None:
+        """`n` weights this update in each meter's global average (the reference
+        passes the true batch size for ragged final batches, utils.py:331)."""
         for k, v in kwargs.items():
-            self.meters[k].update(float(v))
+            self.meters[k].update(float(v), n=n)
 
     def add_meter(self, name: str, meter: SmoothedValue) -> None:
         self.meters[name] = meter

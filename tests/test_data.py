@@ -36,6 +36,26 @@ def test_sharded_infinite_sampler_resume():
     assert full[13:25] == resumed, "mid-stream resume must reproduce the stream"
 
 
+def test_sharded_infinite_sampler_positional_shards():
+    """Ranks take POSITIONAL slices of one global permutation (reference
+    dinov2/data/samplers.py:129-131,214-219) — index-value sharding would pin
+    each rank to a congruence class (correlated for sequential video frames)."""
+    import itertools
+    w0 = list(itertools.islice(iter(ShardedInfiniteSampler(20, seed=3, rank=0, world_size=2)), 10))
+    w1 = list(itertools.islice(iter(ShardedInfiniteSampler(20, seed=3, rank=1, world_size=2)), 10))
+    # first window: the two ranks partition the full permutation
+    assert set(w0).isdisjoint(w1)
+    assert len(set(w0) | set(w1)) == 20
+    # NOT congruence-class sharding: rank 0 must see both parities eventually
+    assert {i % 2 for i in w0} == {0, 1}
+    # per-rank resume: whole windows skip by global count, remainder by per-rank yields
+    full = list(itertools.islice(iter(ShardedInfiniteSampler(20, seed=3, rank=1, world_size=2)), 30))
+    resumed = list(itertools.islice(
+        iter(ShardedInfiniteSampler(20, seed=3, rank=1, world_size=2, advance=25)), 10))
+    # advance=25 → skip 1 window (20 global) + 5 per-rank yields → stream[15:]
+    assert full[15:25] == resumed
+
+
 def test_loader_batches():
     ds = SyntheticSeg(n=10, imsize=56)
     loader = DataLoader(ds, batch_size=4, num_workers=2, drop_last=True)

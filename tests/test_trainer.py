@@ -81,6 +81,25 @@ def test_loss_decreases_and_eval_runs():
     assert preds.shape == masks.shape
 
 
+def test_eval_valid_mask_excludes_padded_rows():
+    """Padded duplicate rows (valid=False) must not skew validation metrics: with
+    rows [a, b, a, b], masking either (a, b) pair gives the same averages, and
+    masking down to only `a` gives a genuinely different value."""
+    imgs, masks = make_batch(4)
+    imgs = np.stack([imgs[0], imgs[1], imgs[0], imgs[1]])
+    masks = np.stack([masks[0], masks[1], masks[0], masks[1]])
+    trainer = make_trainer(n_devices=4)
+    state = trainer.init_state((imgs, masks))
+    m_first, _ = trainer.eval_step(state, imgs, masks, np.array([1, 1, 0, 0], bool))
+    m_last, _ = trainer.eval_step(state, imgs, masks, np.array([0, 0, 1, 1], bool))
+    m_all, _ = trainer.eval_step(state, imgs, masks)
+    m_one, _ = trainer.eval_step(state, imgs, masks, np.array([1, 0, 0, 0], bool))
+    for k in m_first:
+        assert abs(float(m_first[k]) - float(m_last[k])) < 1e-5, k
+        assert abs(float(m_first[k]) - float(m_all[k])) < 1e-5, k
+    assert any(abs(float(m_one[k]) - float(m_all[k])) > 1e-6 for k in m_one)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     imgs, masks = make_batch(4)
     trainer = make_trainer(n_devices=4)

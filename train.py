@@ -210,12 +210,18 @@ def train_seg(args):
     def validate(state, loader=None):
         logger = MetricLogger(delimiter="  ")
         for imgs, masks, _ in (loader if loader is not None else val_loader):
-            if imgs.shape[0] % jax.device_count():
-                pad = -imgs.shape[0] % jax.device_count()
-                imgs = np.concatenate([imgs, imgs[:pad]])
-                masks = np.concatenate([masks, masks[:pad]])
-            metrics, _ = trainer.eval_step(state, imgs, masks)
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+            n = imgs.shape[0]
+            if n % jax.device_count():
+                # tile to an exact device-count multiple (a tiny remainder batch
+                # can need more padding than it has rows); padded rows carry
+                # valid=False and are excluded from the metrics
+                pad = -n % jax.device_count()
+                idx = np.arange(pad) % n
+                imgs = np.concatenate([imgs, imgs[idx]])
+                masks = np.concatenate([masks, masks[idx]])
+            valid = np.arange(imgs.shape[0]) < n
+            metrics, _ = trainer.eval_step(state, imgs, masks, valid)
+            logger.update(n=n, **{k: float(v) for k, v in metrics.items()})
         logger.synchronize_between_processes()
         print("Val:", logger)
         return {k: m.global_avg for k, m in logger.meters.items()}
