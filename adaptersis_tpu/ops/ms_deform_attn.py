@@ -156,7 +156,9 @@ class MSDeformAttn(nn.Module):
     # transients); set force_fp32=True for bit-parity benchmarking.
     force_fp32: bool = False
     # "gather" (lane-axis take_along_axis) | "matmul" (dense sampling-matrix MXU
-    # formulation with a hand-written VJP, ops/msda_matmul.py)
+    # formulation with a hand-written VJP, ops/msda_matmul.py) | "pallas"
+    # (Mosaic kernel, VMEM-resident sampling matrix with locality skipping,
+    # ops/msda_pallas.py; auto-falls back to "matmul" on unsupported geometry)
     impl: str = "gather"
     dtype: Dtype = jnp.float32
 
@@ -213,11 +215,23 @@ class MSDeformAttn(nn.Module):
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )
 
-        if self.impl == "matmul":
+        shapes_t = tuple(tuple(hw) for hw in spatial_shapes)
+        impl = self.impl
+        if impl == "pallas":
+            from . import msda_pallas
+
+            if not msda_pallas.supported(shapes_t):
+                impl = "matmul"
+        if impl == "pallas":
+            from .msda_pallas import msda_pallas as _pallas_op
+
+            out = _pallas_op(value, locations, weights,
+                             shapes_t).astype(value.dtype)
+        elif impl == "matmul":
             from .msda_matmul import msda_matmul
 
-            out = msda_matmul(value, locations, weights, tuple(
-                tuple(hw) for hw in spatial_shapes)).astype(value.dtype)
+            out = msda_matmul(value, locations, weights,
+                              shapes_t).astype(value.dtype)
         else:
             out = ms_deform_attn_core(
                 value, spatial_shapes, locations, weights,

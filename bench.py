@@ -42,7 +42,7 @@ def main() -> None:
     n_chips = jax.device_count()
     backbone = build_backbone("vit_large", img_size=518, patch_size=14, dtype=jnp.bfloat16)
     model = AdapterSegmentor(backbone=backbone, num_classes=2, n_last_blocks=4,
-                             msda_impl="matmul", dtype=jnp.bfloat16)
+                             msda_impl="pallas", dtype=jnp.bfloat16)
     trainer = Trainer(model, TrainerConfig(loss="dc", use_clahe=True),
                       mesh=get_mesh(fsdp=1))
 

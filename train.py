@@ -78,10 +78,12 @@ def get_args_parser():
     p.add_argument("--cross_test_path", default="", type=str,
                    help="optional second validation dataset root (cross-dataset "
                         "eval, reference eval_dinov2_setr_cross_ete.py:176,490)")
-    p.add_argument("--msda_impl", default="gather", choices=["gather", "matmul"],
+    p.add_argument("--msda_impl", default="gather",
+                   choices=["gather", "matmul", "pallas"],
                    help="deformable-attention implementation: lane-gather (fast "
-                        "compile) or dense sampling-matrix matmul (~2x faster "
-                        "step, minutes-long first compile)")
+                        "compile), dense sampling-matrix matmul (~2x faster "
+                        "step, minutes-long first compile), or the Mosaic "
+                        "kernel (fastest on TPU; ops/msda_pallas.py)")
     return p
 
 
