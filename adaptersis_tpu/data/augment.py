@@ -25,38 +25,35 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.resize import apply_interp, interp_matrix_bilinear, interp_matrix_nearest
 from .clahe import clahe_rgb
 
 
 def _crop_resize_bilinear(img: jax.Array, y0, x0, size, out: int) -> jax.Array:
     """Sample an (size×size) crop at (y0, x0) resized to (out×out), half-pixel
-    bilinear (cv2 INTER_LINEAR semantics). img: (H, W, C) float32."""
+    bilinear (cv2 INTER_LINEAR semantics). img: (H, W, C) float32.
+
+    Crop offsets/sizes are traced per sample, so the crop+resize is ONE pair of
+    dynamically-built interpolation-matrix matmuls (TPU major-axis gathers are
+    ~1000× slower than MXU contractions — see ops/resize.py)."""
     H, W, _ = img.shape
     scale = size / out
     coords = (jnp.arange(out, dtype=jnp.float32) + 0.5) * scale - 0.5
-    ys = jnp.clip(coords + y0, 0.0, H - 1)
-    xs = jnp.clip(coords + x0, 0.0, W - 1)
-
-    def lerp_axis(a, cs, axis):
-        i0 = jnp.floor(cs).astype(jnp.int32)
-        i1 = jnp.minimum(i0 + 1, a.shape[axis] - 1)
-        t = cs - i0.astype(jnp.float32)
-        lo = jnp.take(a, i0, axis=axis)
-        hi = jnp.take(a, i1, axis=axis)
-        shape = [1] * a.ndim
-        shape[axis] = cs.shape[0]
-        return lo * (1 - t.reshape(shape)) + hi * t.reshape(shape)
-
-    return lerp_axis(lerp_axis(img, ys, 0), xs, 1)
+    My = interp_matrix_bilinear(coords + y0, H)
+    Mx = interp_matrix_bilinear(coords + x0, W)
+    return apply_interp(apply_interp(img, My, 0), Mx, 1)
 
 
 def _crop_resize_nearest(mask: jax.Array, y0, x0, size, out: int) -> jax.Array:
     H, W = mask.shape
     scale = size / out
-    coords = jnp.floor((jnp.arange(out, dtype=jnp.float32) + 0.5) * scale).astype(jnp.float32)
+    coords = jnp.floor((jnp.arange(out, dtype=jnp.float32) + 0.5) * scale)
     ys = jnp.clip(coords + y0, 0, H - 1).astype(jnp.int32)
     xs = jnp.clip(coords + x0, 0, W - 1).astype(jnp.int32)
-    return mask[ys][:, xs]
+    m = mask.astype(jnp.float32)
+    m = apply_interp(apply_interp(m, interp_matrix_nearest(ys, H), 0),
+                     interp_matrix_nearest(xs, W), 1)
+    return jnp.round(m).astype(mask.dtype)
 
 
 def _rot90_k(img: jax.Array, k: jax.Array) -> jax.Array:

@@ -116,16 +116,27 @@ def _sdpa_einsum(q, k, v, scale, dtype):
     return jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(dtype))
 
 
+def _flash_block(np_len: int) -> int:
+    """Largest 128-multiple block ≤1024 dividing the padded sequence. The
+    library default (512-pad, small blocks) measured 27 ms at the flagship
+    1765-token shape; 896-blocks over a 1792 pad measure 4.7 ms (vs 6.6 ms
+    einsum) on v5e."""
+    for cand in (1024, 896, 768, 640, 512, 384, 256, 128):
+        if np_len % cand == 0:
+            return cand
+    return 128
+
+
 def _sdpa_flash(q, k, v, scale):
     """Pallas TPU flash attention (jax.experimental.pallas.ops.tpu.flash_attention)
     — replaces the reference's xformers memory_efficient_attention
-    (dinov2/layers/attention.py:72-89). Sequence padded to a 512 multiple; padded
+    (dinov2/layers/attention.py:72-89). Sequence padded to a 128 multiple; padded
     keys are masked out via segment ids so real-token rows are exact."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        SegmentIds, flash_attention)
+        BlockSizes, SegmentIds, flash_attention)
 
     B, N, H, Dh = q.shape
-    Np = -(-N // 512) * 512
+    Np = -(-N // 128) * 128
     pad = Np - N
 
     def to_bhnd(t):
@@ -134,10 +145,13 @@ def _sdpa_flash(q, k, v, scale):
 
     ids = (jnp.arange(Np) < N).astype(jnp.int32)[None, :]
     ids = jnp.broadcast_to(ids, (B, Np))
+    blk = _flash_block(Np)
     out = flash_attention(
         to_bhnd(q), to_bhnd(k), to_bhnd(v),
         segment_ids=SegmentIds(q=ids, kv=ids),
         sm_scale=scale,
+        block_sizes=BlockSizes(block_q=blk, block_k_major=blk, block_k=blk,
+                               block_b=1),
     )
     return out.transpose(0, 2, 1, 3)[:, :N]
 
@@ -215,6 +229,7 @@ class Block(nn.Module):
     init_values: Optional[float] = 1e-5
     ffn_layer: str = "mlp"
     drop_path_rate: float = 0.0
+    attn_impl: str = "einsum"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -230,7 +245,8 @@ class Block(nn.Module):
             # attention-map hook for visualization (root vision_transformer.py:80-92)
             _, attn = Attention(self.num_heads, dtype=self.dtype, name="attn")(h, return_attn=True)
             return attn
-        h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
+        h = Attention(self.num_heads, attn_impl=self.attn_impl,
+                      dtype=self.dtype, name="attn")(h)
         x = x + ls("ls1", h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         if self.ffn_layer == "swiglufused":

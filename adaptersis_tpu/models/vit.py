@@ -43,6 +43,9 @@ class DinoVisionTransformer(nn.Module):
     ffn_layer: str = "mlp"
     init_values: float = 1e-5
     num_register_tokens: int = 0
+    # "einsum" | "flash" (tuned Pallas flash kernel — faster & O(N) memory at
+    # the flagship 1765-token sequence; see layers._sdpa_flash)
+    attn_impl: str = "einsum"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -64,6 +67,7 @@ class DinoVisionTransformer(nn.Module):
                 self.mlp_ratio,
                 self.init_values,
                 self.ffn_layer,
+                attn_impl=self.attn_impl,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

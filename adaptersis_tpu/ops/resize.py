@@ -8,10 +8,14 @@ The reference mixes align_corners conventions (SURVEY.md §7 "hard parts"):
     default is 'nearest' there)
   * bicubic for pos-embed interpolation (vit.py handles that via jax.image.resize).
 
-Implementation: separable 1-D gather + lerp along H then W — O(out) memory traffic,
-VPU-friendly, statically shaped. torch semantics: source coordinates are clamped to
-the valid range (no zero padding), so we clamp both corner indices and keep the
-fractional weight from the unclamped coordinate.
+Implementation: separable 1-D interpolation MATRICES contracted on the MXU
+(out = M_y · x · M_xᵀ). TPU gathers along a major axis run ~1000× slower than
+lane-axis ops (see ops/ms_deform_attn.py), so every resize here is a dense
+one-hot-weight matmul instead of a take(): the matrices are built with iota
+compares (clamped taps accumulate onto the boundary row, matching torch's
+coordinate clamping) and XLA constant-folds them for static sizes. torch
+semantics: source coordinates are clamped to the valid range (no zero padding),
+keeping the fractional weight from the unclamped coordinate.
 """
 
 from __future__ import annotations
@@ -31,21 +35,45 @@ def _axis_coords(in_size: int, out_size: int, align_corners: bool) -> jax.Array:
     return (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
 
 
+def interp_matrix_bilinear(src: jax.Array, in_size: int) -> jax.Array:
+    """(out, in) bilinear interpolation matrix for (possibly traced) source
+    coordinates `src`, torch clamping semantics. Two weights per row; clamped
+    corner taps accumulate onto the boundary column."""
+    src = jnp.clip(src, 0.0, in_size - 1)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    t = src - i0.astype(jnp.float32)
+    iota = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    return (jnp.where(iota == i0[:, None], 1.0 - t[:, None], 0.0)
+            + jnp.where(iota == i1[:, None], t[:, None], 0.0))
+
+
+def interp_matrix_nearest(idx: jax.Array, in_size: int) -> jax.Array:
+    """(out, in) one-hot row-selection matrix."""
+    iota = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    return (iota == idx[:, None]).astype(jnp.float32)
+
+
+def apply_interp(x: jax.Array, M: jax.Array, axis: int) -> jax.Array:
+    """Contract interpolation matrix M (out, in) against `axis` of x on the MXU."""
+    nd = x.ndim
+    y = jax.lax.dot_general(
+        x, M.astype(x.dtype),
+        dimension_numbers=(((axis,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    # contracted axis is removed, matrix `out` dim appended last — restore order
+    perm = list(range(nd - 1))
+    perm.insert(axis, nd - 1)
+    return y.transpose(perm)
+
+
 def _lerp_axis(x: jax.Array, axis: int, out_size: int, align_corners: bool) -> jax.Array:
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    src = _axis_coords(in_size, out_size, align_corners)
-    src = jnp.clip(src, 0.0, in_size - 1)  # torch clamps coords, no zero padding
-    i0 = jnp.floor(src).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, in_size - 1)
-    t = (src - i0.astype(jnp.float32)).astype(x.dtype)
-    a = jnp.take(x, i0, axis=axis)
-    b = jnp.take(x, i1, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    t = t.reshape(shape)
-    return a * (1 - t) + b * t
+    M = interp_matrix_bilinear(_axis_coords(in_size, out_size, align_corners), in_size)
+    return apply_interp(x, M, axis)
 
 
 def resize_bilinear(x: jax.Array, size: Tuple[int, int], align_corners: bool = False) -> jax.Array:
@@ -78,16 +106,14 @@ def _cubic_axis(x: jax.Array, axis: int, out_size: int, align_corners: bool,
     else:
         src = _axis_coords(in_size, out_size, align_corners)
     i1 = jnp.floor(src).astype(jnp.int32)
-    t = (src - i1.astype(jnp.float32)).astype(x.dtype)
+    t = src - i1.astype(jnp.float32)
     ws = _cubic_weights(t)
-    out = None
-    shape = [1] * x.ndim
-    shape[axis] = out_size
+    iota = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    M = jnp.zeros((out_size, in_size), jnp.float32)
     for k, w in zip((-1, 0, 1, 2), ws):
-        tap = jnp.take(x, jnp.clip(i1 + k, 0, in_size - 1), axis=axis)
-        term = tap * w.reshape(shape)
-        out = term if out is None else out + term
-    return out
+        idx = jnp.clip(i1 + k, 0, in_size - 1)
+        M = M + jnp.where(iota == idx[:, None], 1.0, 0.0) * w[:, None]
+    return apply_interp(x, M, axis)
 
 
 def resize_bicubic(x: jax.Array, size: Tuple[int, int], align_corners: bool = False,
@@ -108,9 +134,8 @@ def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
             (jnp.arange(out_size, dtype=jnp.float32) * (in_size / out_size)).astype(jnp.int32),
             in_size - 1,
         )
-    out = jnp.take(x, idx(x.shape[1], size[0]), axis=1)
-    out = jnp.take(out, idx(x.shape[2], size[1]), axis=2)
-    return out
+    out = apply_interp(x, interp_matrix_nearest(idx(x.shape[1], size[0]), x.shape[1]), 1)
+    return apply_interp(out, interp_matrix_nearest(idx(x.shape[2], size[1]), x.shape[2]), 2)
 
 
 def upsample2x(x: jax.Array, align_corners: bool = True) -> jax.Array:

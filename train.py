@@ -78,6 +78,10 @@ def get_args_parser():
     p.add_argument("--cross_test_path", default="", type=str,
                    help="optional second validation dataset root (cross-dataset "
                         "eval, reference eval_dinov2_setr_cross_ete.py:176,490)")
+    p.add_argument("--attn_impl", default="einsum", choices=["einsum", "flash"],
+                   help="backbone self-attention: plain XLA SDPA or the tuned "
+                        "Pallas flash kernel (TPU; O(N) memory, faster at the "
+                        "flagship 1765-token sequence)")
     p.add_argument("--msda_impl", default="gather",
                    choices=["gather", "matmul", "pallas"],
                    help="deformable-attention implementation: lane-gather (fast "
@@ -128,7 +132,8 @@ def train_seg(args):
 
     from adaptersis_tpu.models.tap_segmentor import TapSegmentor
 
-    backbone = build_backbone(arch, img_size=518, patch_size=patch, dtype=dtype)
+    backbone = build_backbone(arch, img_size=518, patch_size=patch,
+                              attn_impl=args.attn_impl, dtype=dtype)
     # per-model reference loss defaults (each eval script hardcodes its own)
     loss = args.loss
     trainer_softmax = True
