@@ -135,3 +135,26 @@ def train_augment(
 def val_preprocess(images: jax.Array) -> jax.Array:
     """uint8 → float32 /255, NO normalization (reference val path, train.py:119-122)."""
     return images.astype(jnp.float32) / 255.0
+
+
+# ImageNet statistics (torchvision convention, used by the masktrans variant)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def apply_input_norm(x01: jax.Array, mode: str) -> jax.Array:
+    """Per-variant input normalization applied AFTER the /255 pipeline.
+
+    "imagenet_div255" reproduces eval_dinov2_masktrans.py exactly: the torch
+    transform normalizes with ImageNet mean/std (:144-154, :171-175) and the
+    Robomis dataset then divides the *normalized* tensor by 255 again (:74-75)
+    — a reference quirk kept for parity. All other variants feed /255 only
+    ("none"; eval_dinov2_masktrans_inov.py:89,172 has Normalize commented out).
+    """
+    if mode == "none":
+        return x01
+    if mode == "imagenet_div255":
+        mean = jnp.asarray(IMAGENET_MEAN, x01.dtype)
+        std = jnp.asarray(IMAGENET_STD, x01.dtype)
+        return ((x01 - mean) / std) / 255.0
+    raise ValueError(f"unknown input_norm mode {mode!r}")

@@ -34,11 +34,16 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_batches(self):
-        idxs = list(self.sampler) if self.sampler is not None else list(range(len(self.dataset)))
-        for i in range(0, len(idxs), self.batch_size):
-            b = idxs[i : i + self.batch_size]
-            if len(b) < self.batch_size and self.drop_last:
-                return
+        # stream from the sampler: infinite samplers (ShardedInfiniteSampler)
+        # never terminate, so indices must not be materialized up front
+        source = iter(self.sampler) if self.sampler is not None else iter(range(len(self.dataset)))
+        b = []
+        for i in source:
+            b.append(i)
+            if len(b) == self.batch_size:
+                yield b
+                b = []
+        if b and not self.drop_last:
             yield b
 
     def _collate(self, pool: ThreadPoolExecutor, batch_idx) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -32,6 +32,7 @@ import numpy as np
 import optax
 
 from ..models.vit import DinoVisionTransformer
+from ..parallel.mesh import get_mesh, replicate_tree
 from .heads import DINOHead
 from .losses import (dino_loss, ibot_patch_loss, koleo_loss,
                      softmax_center_teacher, update_center)
@@ -59,9 +60,14 @@ class SSLConfig:
 
 
 class SSLMetaArch:
-    def __init__(self, backbone: DinoVisionTransformer, cfg: SSLConfig = SSLConfig()):
+    def __init__(self, backbone: DinoVisionTransformer, cfg: SSLConfig = SSLConfig(),
+                 mesh=None):
         self.backbone = backbone
         self.cfg = cfg
+        # GSPMD data parallelism over the mesh "data" axis — the reference's
+        # multi-GPU FSDP flagship path (dinov2/train/ssl_meta_arch.py:391+);
+        # batch stats (loss means, center EMAs) become XLA-inserted collectives
+        self.mesh = mesh if mesh is not None else get_mesh()
         self.dino_head = DINOHead(cfg.dino_out_dim, cfg.head_hidden_dim, cfg.head_bottleneck_dim)
         self.ibot_head = (
             DINOHead(cfg.ibot_out_dim, cfg.head_hidden_dim, cfg.head_bottleneck_dim)
@@ -82,7 +88,7 @@ class SSLMetaArch:
                 ki, jnp.zeros((1, self.backbone.embed_dim)))["params"]
         teacher = jax.tree_util.tree_map(jnp.array, student)
         opt_state = self.tx.init(student)
-        return {
+        state = {
             "student": student,
             "teacher": teacher,
             "opt_state": opt_state,
@@ -90,27 +96,27 @@ class SSLMetaArch:
             "ibot_center": jnp.zeros((1, 1, self.cfg.ibot_out_dim)),
             "step": jnp.zeros((), jnp.int32),
         }
+        return replicate_tree(state, self.mesh)
 
     @property
     def tx(self) -> optax.GradientTransformation:
         cfg = self.cfg
+        # Adam moments only: weight decay is applied PER STEP with the scheduled
+        # value inside the train step (dinov2/train/train.py:141-148 sets wd on
+        # every param group each iteration; a fixed add_decayed_weights here
+        # would freeze it at the epoch-0 value)
+        return optax.scale_by_adam(b1=cfg.adamw_beta1, b2=cfg.adamw_beta2)
 
-        def wd_mask(params):
-            # no weight decay for bias / norm / gamma / tokens (param_groups.py:41-79)
-            def leaf_mask(path, x):
-                name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
-                nd = x.ndim > 1
-                banned = any(t in name for t in ("bias", "norm", "gamma", "cls_token",
-                                                 "pos_embed", "mask_token", "last_layer_g"))
-                return nd and not banned
+    def wd_mask(self, params) -> Any:
+        """No weight decay for bias / norm / gamma / tokens (param_groups.py:41-79)."""
+        def leaf_mask(path, x):
+            name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+            nd = x.ndim > 1
+            banned = any(t in name for t in ("bias", "norm", "gamma", "cls_token",
+                                             "pos_embed", "mask_token", "last_layer_g"))
+            return nd and not banned
 
-            return jax.tree_util.tree_map_with_path(leaf_mask, params)
-
-        return optax.chain(
-            optax.scale_by_adam(b1=cfg.adamw_beta1, b2=cfg.adamw_beta2),
-            optax.masked(optax.add_decayed_weights(cfg.weight_decay), wd_mask),
-            optax.scale(-1.0),
-        )
+        return jax.tree_util.tree_map_with_path(leaf_mask, params)
 
     def lr_multipliers(self, params) -> Any:
         """Layerwise lr decay by block index + patch_embed multiplier
@@ -152,7 +158,7 @@ class SSLMetaArch:
     def build_train_step(self):
         cfg = self.cfg
 
-        def step(state, global_crops, local_crops, masks, lr, wd_unused, momentum,
+        def step(state, global_crops, local_crops, masks, lr, wd, momentum,
                  teacher_temp, last_layer_lr):
             """global_crops: (2B, S, S, 3); local_crops: (nB, s, s, 3);
             masks: (2B, N_tokens) bool."""
@@ -206,15 +212,17 @@ class SSLMetaArch:
             (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["student"])
             updates, new_opt = self.tx.update(grads, state["opt_state"], state["student"])
             mults = self.lr_multipliers(state["student"])
+            wd_mask = self.wd_mask(state["student"])
 
-            def apply_upd(path, p, u, m):
+            def apply_upd(path, p, u, m, decay):
+                # torch AdamW semantics with per-group lr multiplier and the
+                # SCHEDULED weight decay: p ← p − lr_g·adam_u − lr_g·wd·p
                 name = "/".join(str(k.key) for k in path if hasattr(k, "key"))
-                eff_lr = last_layer_lr if "last_layer" in name else lr
-                return p + eff_lr * m * u
+                eff_lr = (last_layer_lr if "last_layer" in name else lr) * m
+                return p - eff_lr * u - jnp.where(decay, eff_lr * wd, 0.0) * p
 
             new_student = jax.tree_util.tree_map_with_path(
-                lambda path, p, u, m: apply_upd(path, p, u, m),
-                state["student"], updates, mults,
+                apply_upd, state["student"], updates, mults, wd_mask,
             )
             new_teacher = jax.tree_util.tree_map(
                 lambda t, s: t * momentum + s * (1 - momentum),
@@ -233,7 +241,15 @@ class SSLMetaArch:
             }
             return new_state, {"total_loss": total, **parts}
 
-        return jax.jit(step, donate_argnums=(0,))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sh = NamedSharding(self.mesh, P("data"))
+        rep = NamedSharding(self.mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(None, data_sh, data_sh, data_sh) + (rep,) * 5,
+            donate_argnums=(0,),
+        )
 
     def train_step(self, state, global_crops, local_crops, masks, schedules, it: int):
         if self._step_fn is None:

@@ -29,7 +29,7 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..data.augment import train_augment, val_preprocess
+from ..data.augment import apply_input_norm, train_augment, val_preprocess
 from ..losses import LOSSES, ch_iou, dc_loss, isi_iou, pixel_accuracy, weighted_ce_pair
 from ..models.segmentor import AdapterSegmentor
 from ..parallel.mesh import fsdp_shard_params, get_mesh, replicate_tree, shard_batch
@@ -49,6 +49,8 @@ class TrainerConfig:
     seed: int = 0
     train_backbone: bool = False   # True for the setr_ete end-to-end variant
     msda_impl: str = "gather"      # deformable-attention impl (model must match)
+    # "none" | "imagenet_div255" (masktrans variant parity — data/augment.py)
+    input_norm: str = "none"
 
 
 class Trainer:
@@ -118,6 +120,7 @@ class Trainer:
             aug_imgs, aug_masks = train_augment(
                 images_u8, masks, rng, use_clahe=cfg.use_clahe
             )
+            aug_imgs = apply_input_norm(aug_imgs, cfg.input_norm)
 
             def loss_of(params):
                 variables = {
@@ -151,7 +154,7 @@ class Trainer:
         model = self.model
 
         def step(state, images_u8, masks, valid):
-            x = val_preprocess(images_u8)
+            x = apply_input_norm(val_preprocess(images_u8), self.cfg.input_norm)
             variables = {
                 "params": {**state["params"], **state["frozen"]},
                 "batch_stats": state["batch_stats"],

@@ -41,8 +41,16 @@ def get_args_parser():
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--platform", default=None, type=str)
+    p.add_argument("--official_epoch_length", default=1250, type=int,
+                   help="iterations per 'epoch' — schedules and checkpoints are "
+                        "iteration-keyed (dinov2/configs/ssl_default_config.yaml:68, "
+                        "dinov2/train/train.py:66-110)")
+    p.add_argument("--scaling_rule", default="sqrt_wrt_1024",
+                   choices=["sqrt_wrt_1024", "none"],
+                   help="lr *= sqrt(global_batch/1024) "
+                        "(dinov2/utils/config.py:21-29)")
     p.add_argument("--steps_per_epoch", default=0, type=int,
-                   help="override (for smoke tests)")
+                   help="override official_epoch_length (smoke tests)")
     return p
 
 
@@ -54,13 +62,21 @@ def main(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from adaptersis_tpu.data import DataLoader, EpochSampler, SyntheticSeg
+    from adaptersis_tpu.data import DataLoader, ShardedInfiniteSampler, SyntheticSeg
     from adaptersis_tpu.models.vit import build_backbone
     from adaptersis_tpu.ssl import MaskingGenerator, SSLConfig, SSLMetaArch, collate_masks
     from adaptersis_tpu.ssl.augment import multicrop_augment
     from adaptersis_tpu.train import save_checkpoint, restore_checkpoint
     from adaptersis_tpu.train.schedules import cosine_scheduler
     from adaptersis_tpu.utils import MetricLogger
+
+    # sqrt-batch lr scaling (dinov2/utils/config.py:21-29): the reference always
+    # applies it before building schedules
+    global_batch = args.batch_size_per_gpu * jax.device_count()
+    if args.scaling_rule == "sqrt_wrt_1024":
+        base_lr = args.lr
+        args.lr = base_lr * math.sqrt(global_batch / 1024.0)
+        print(f"sqrt scaling learning rate; base: {base_lr}, new: {args.lr}")
 
     backbone = build_backbone(args.arch, img_size=args.global_crops_size,
                               patch_size=args.patch_size)
@@ -70,12 +86,16 @@ def main(args):
                     koleo_loss_weight=args.koleo_loss_weight)
     arch = SSLMetaArch(backbone, cfg)
 
-    ds = SyntheticSeg(n=max(args.batch_size_per_gpu * 4, 64),
+    ds = SyntheticSeg(n=max(global_batch * 4, 64),
                       imsize=args.global_crops_size + 32, seed=args.seed)
-    sampler = EpochSampler(len(ds), seed=args.seed)
-    loader = DataLoader(ds, sampler=sampler, batch_size=args.batch_size_per_gpu,
+    # resumable infinite sampler + iteration-keyed loop over
+    # epochs × OFFICIAL_EPOCH_LENGTH (dinov2/train/train.py:134-318)
+    sampler = ShardedInfiniteSampler(len(ds), seed=args.seed,
+                                     rank=jax.process_index(),
+                                     world_size=jax.process_count())
+    loader = DataLoader(ds, sampler=sampler, batch_size=global_batch,
                         num_workers=4)
-    niter_per_ep = args.steps_per_epoch or len(loader)
+    niter_per_ep = args.steps_per_epoch or args.official_epoch_length
     total = args.epochs * niter_per_ep
 
     schedules = {
@@ -106,11 +126,10 @@ def main(args):
 
     it = 0
     logger = MetricLogger()
+    data_iter = iter(loader)
     for epoch in range(args.epochs):
-        sampler.set_epoch(epoch)
-        for step_i, (imgs, _, _) in enumerate(loader):
-            if args.steps_per_epoch and step_i >= args.steps_per_epoch:
-                break
+        for _ in range(niter_per_ep):
+            imgs, _, _ = next(data_iter)
             rng, ka = jax.random.split(rng)
             g, l = multicrop_augment(jnp.asarray(imgs), ka,
                                      global_size=args.global_crops_size,

@@ -104,9 +104,9 @@ def test_meta_arch_step_runs_and_teacher_ema():
     arch = SSLMetaArch(bb, cfg)
     state = arch.init_state(jax.random.PRNGKey(0), 28, 28)
     rng = np.random.default_rng(0)
-    g = jnp.asarray(rng.standard_normal((4, 28, 28, 3)), jnp.float32)
-    l = jnp.asarray(rng.standard_normal((4, 28, 28, 3)), jnp.float32)
-    masks = jnp.asarray(rng.uniform(size=(4, 4)) > 0.5)
+    g = jnp.asarray(rng.standard_normal((8, 28, 28, 3)), jnp.float32)
+    l = jnp.asarray(rng.standard_normal((8, 28, 28, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(size=(8, 4)) > 0.5)
     schedules = {k: np.full(10, v) for k, v in
                  [("lr", 1e-3), ("wd", 0.04), ("momentum", 0.9),
                   ("teacher_temp", 0.04), ("last_layer_lr", 1e-3)]}
@@ -121,3 +121,74 @@ def test_meta_arch_step_runs_and_teacher_ema():
         leaf(t_new), 0.9 * leaf(s0_student) + 0.1 * leaf(s_new), rtol=2e-4, atol=2e-6)
     # center must have moved off zero
     assert float(jnp.abs(state["dino_center"]).sum()) > 0.0
+
+
+def test_ssl_step_dp8_matches_dp1():
+    """The SSL train step must produce identical losses and updated params on an
+    8-device data-parallel mesh and a single device (GSPMD batch sharding +
+    XLA-inserted collectives for loss means and center EMAs)."""
+    from adaptersis_tpu.models.vit import DinoVisionTransformer
+    from adaptersis_tpu.parallel.mesh import get_mesh
+
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.standard_normal((8, 28, 28, 3)), jnp.float32)
+    l = jnp.asarray(rng.standard_normal((8, 28, 28, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(size=(8, 4)) > 0.5)
+    schedules = {k: np.full(4, v) for k, v in
+                 [("lr", 1e-3), ("wd", 0.04), ("momentum", 0.9),
+                  ("teacher_temp", 0.04), ("last_layer_lr", 1e-3)]}
+
+    results = {}
+    for name, devices in (("dp1", jax.devices()[:1]), ("dp8", jax.devices())):
+        bb = DinoVisionTransformer(img_size=28, patch_size=14, embed_dim=32,
+                                   depth=2, num_heads=2)
+        cfg = SSLConfig(dino_out_dim=64, ibot_out_dim=64, n_local_crops=2,
+                        koleo_loss_weight=0.0)  # koleo pairs within-batch: DP-dependent in ref too
+        arch = SSLMetaArch(bb, cfg, mesh=get_mesh(devices=devices))
+        state = arch.init_state(jax.random.PRNGKey(0), 28, 28)
+        state, metrics = arch.train_step(state, g, l, masks, schedules, 0)
+        results[name] = (float(metrics["total_loss"]),
+                         jax.device_get(state["student"]))
+
+    assert abs(results["dp1"][0] - results["dp8"][0]) < 1e-5
+    # params: cross-device psum reduction order vs a single-device sum shifts
+    # grads by float-epsilon, which Adam's rsqrt amplifies — bound, not bitwise
+    a = jax.tree_util.tree_leaves(results["dp1"][1])
+    b = jax.tree_util.tree_leaves(results["dp8"][1])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, rtol=1e-2, atol=1e-3)
+
+
+def test_ssl_scheduled_wd_is_applied():
+    """A huge scheduled weight decay must shrink decayed params; wd=0 must not
+    (regression: round-1 computed the schedule but dropped it as wd_unused)."""
+    from adaptersis_tpu.models.vit import DinoVisionTransformer
+
+    rng = np.random.default_rng(4)
+    g = jnp.asarray(rng.standard_normal((8, 28, 28, 3)), jnp.float32)
+    l = jnp.asarray(rng.standard_normal((8, 28, 28, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(size=(8, 4)) > 0.5)
+
+    def run_lr(wd):
+        bb = DinoVisionTransformer(img_size=28, patch_size=14, embed_dim=32,
+                                   depth=2, num_heads=2)
+        cfg = SSLConfig(dino_out_dim=64, ibot_out_dim=64, n_local_crops=2)
+        arch = SSLMetaArch(bb, cfg)
+        schedules = {k: np.full(4, v) for k, v in
+                     [("lr", 1e-3), ("wd", wd), ("momentum", 1.0),
+                      ("teacher_temp", 0.04), ("last_layer_lr", 1e-3)]}
+        state = arch.init_state(jax.random.PRNGKey(0), 28, 28)
+        state, _ = arch.train_step(state, g, l, masks, schedules, 0)
+        return jax.device_get(state["student"]["backbone"])
+
+    p0 = run_lr(0.0)
+    p1 = run_lr(100.0)
+    w0 = p0["blocks_0"]["attn"]["qkv"]["kernel"]
+    w1 = p1["blocks_0"]["attn"]["qkv"]["kernel"]
+    # wd=100 with lr=1e-3 multiplies decayed weights by ~(1 − 0.1·lr_mult) more
+    assert not np.allclose(w0, w1)
+    assert np.abs(w1).mean() < np.abs(w0).mean()
+    # bias is wd-masked: identical under both runs
+    b0 = p0["blocks_0"]["attn"]["qkv"]["bias"]
+    b1 = p1["blocks_0"]["attn"]["qkv"]["bias"]
+    np.testing.assert_allclose(b0, b1, rtol=1e-6, atol=1e-8)

@@ -91,15 +91,39 @@ def get_args_parser():
     return p
 
 
+def _merge_dotlist(cfg: dict, opts) -> dict:
+    """OmegaConf-style dotlist merge (dinov2/utils/config.py:40-46):
+    each entry `a.b.c=value` overrides the nested YAML key; values parse as
+    YAML scalars (ints/floats/bools/strings)."""
+    import yaml
+
+    for item in opts or []:
+        if "=" not in item:
+            raise SystemExit(f"--opts entry {item!r} is not of the form key=value")
+        key, _, raw = item.partition("=")
+        node = cfg
+        parts = key.strip().split(".")
+        for k in parts[:-1]:
+            node = node.setdefault(k, {})
+            if not isinstance(node, dict):
+                raise SystemExit(f"--opts key {key!r} clashes with a scalar")
+        node[parts[-1]] = yaml.safe_load(raw)
+    return cfg
+
+
 def _arch_from_config(args):
-    """--config_file YAML overrides arch/patch (reference: README trains with
-    --arch vit_base but the vitl14 YAML wins, dinov2/eval/setup.py + SURVEY §6)."""
-    if not args.config_file:
+    """--config_file YAML (+ --opts dotlist overrides, reference
+    dinov2/utils/config.py:40-46) overrides arch/patch (reference: README trains
+    with --arch vit_base but the vitl14 YAML wins, dinov2/eval/setup.py)."""
+    if not args.config_file and not args.opts:
         return args.arch, args.patch_size
     import yaml
 
-    with open(args.config_file) as f:
-        cfg = yaml.safe_load(f) or {}
+    cfg = {}
+    if args.config_file:
+        with open(args.config_file) as f:
+            cfg = yaml.safe_load(f) or {}
+    cfg = _merge_dotlist(cfg, args.opts)
     student = cfg.get("student", {})
     arch = student.get("arch", args.arch)
     patch = student.get("patch_size", args.patch_size)
@@ -145,6 +169,7 @@ def train_seg(args):
             decoder_type=args.decoder,
             parity_frozen_head=args.parity_frozen_head,
             msda_impl=args.msda_impl,
+            mla_last_block_bug=getattr(args, "mla_last_block_bug", False),
             dtype=dtype,
         )
     else:
@@ -172,6 +197,9 @@ def train_seg(args):
         lr=args.lr, epochs=args.epochs, loss=loss, trainer_softmax=trainer_softmax,
         use_clahe=not args.no_clahe, fsdp=args.fsdp, seed=args.seed,
         train_backbone=(args.model == "tap_setr_ete"),
+        # eval_dinov2_masktrans.py (and ONLY it) normalizes inputs with
+        # ImageNet stats before the dataset's /255 (:144-154, :74-75)
+        input_norm="imagenet_div255" if args.model == "tap_masktrans" else "none",
     )
     mesh = get_mesh(fsdp=args.fsdp)
     trainer = Trainer(model, cfg, mesh=mesh, pretrained_backbone=pretrained)
