@@ -51,12 +51,12 @@ class MTBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, return_attention: bool = False):
         y, attn = MTAttention(self.heads, dtype=self.dtype, name="attn")(
-            nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         )
         if return_attention:
             return attn
         x = x + y
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(h)
@@ -86,7 +86,7 @@ class MaskTransformer(nn.Module):
         x = jnp.concatenate([x, jnp.broadcast_to(cls_emb.astype(x.dtype), (B, self.n_cls, d))], axis=1)
         for i in range(self.n_layers):
             x = MTBlock(heads, 4 * d, dtype=self.dtype, name=f"blocks_{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="decoder_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="decoder_norm")(x)
 
         scale = d ** -0.5
         proj_patch = self.param("proj_patch", nn.initializers.normal(scale), (d, d), jnp.float32)
@@ -99,5 +99,5 @@ class MaskTransformer(nn.Module):
         cls_feat = cls_feat / jnp.linalg.norm(cls_feat.astype(jnp.float32), axis=-1, keepdims=True).astype(x.dtype)
 
         masks = jnp.einsum("bnd,bcd->bnc", patches, cls_feat)
-        masks = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="mask_norm")(masks)
+        masks = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="mask_norm")(masks)
         return masks.reshape(B, gs_h, gs_w, self.n_cls)
