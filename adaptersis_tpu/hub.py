@@ -56,3 +56,44 @@ def build_model_for_eval(name_or_arch: str, weights_path: Optional[str] = None,
     if weights_path:
         params = {"params": load_dinov2_backbone_params(weights_path, checkpoint_key)}
     return model, params
+
+
+def load_linear_head_params(weights_path: str, expect_in: Optional[int] = None):
+    """Convert a `_lc` linear-head torch checkpoint ({weight, bias}) to flax
+    Dense params (reference hub/classifiers.py:20-45 loads it into
+    nn.Linear((1+layers)·E, 1000))."""
+    import numpy as np
+    import torch
+
+    sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+    w = np.asarray(sd["weight"].numpy())
+    b = np.asarray(sd["bias"].numpy())
+    if expect_in is not None and w.shape[1] != expect_in:
+        raise ValueError(f"linear head expects in-dim {w.shape[1]}, got {expect_in}")
+    return {"kernel": w.T, "bias": b}
+
+
+def linear_classifier_features(model, params, x, layers: int = 4):
+    """The `_lc` wrapper's feature concat (hub/classifiers.py:47-80):
+    layers=1 → [cls | mean(patch)]; layers=4 → [cls×4 | mean(last patch)]."""
+    import jax.numpy as jnp
+
+    if layers == 1:
+        out = model.apply(params, x)
+        return jnp.concatenate(
+            [out["x_norm_clstoken"], out["x_norm_patchtokens"].mean(axis=1)], axis=1)
+    if layers == 4:
+        taps = model.apply(params, x, n=4, return_class_token=True,
+                           method=model.get_intermediate_layers)
+        return jnp.concatenate(
+            [taps[0][1], taps[1][1], taps[2][1], taps[3][1],
+             taps[3][0].mean(axis=1)], axis=1)
+    raise ValueError(f"Unsupported number of layers: {layers}")
+
+
+def linear_classifier_logits(model, params, head_params, x, layers: int = 4):
+    """Full `_lc` forward → (B, 1000) ImageNet logits."""
+    import jax.numpy as jnp
+
+    feats = linear_classifier_features(model, params, x, layers)
+    return feats @ jnp.asarray(head_params["kernel"]) + jnp.asarray(head_params["bias"])

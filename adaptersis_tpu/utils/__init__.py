@@ -1,1 +1,1 @@
-from .logging import MetricLogger, SmoothedValue
+from .logging import MetricLogger, SmoothedValue, profile_trace

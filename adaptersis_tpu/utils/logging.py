@@ -99,10 +99,23 @@ class MetricLogger:
     def __str__(self) -> str:
         return self.delimiter.join(f"{name}: {meter}" for name, meter in self.meters.items())
 
+    @staticmethod
+    def device_memory_mb() -> float:
+        """Peak device memory in MB — the TPU analogue of the reference's
+        torch.cuda.max_memory_allocated() logging (dinov2/logging/helpers.py:110).
+        jax memory_stats is per-device; returns 0.0 on backends without stats."""
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            return float(stats.get("peak_bytes_in_use",
+                                   stats.get("bytes_in_use", 0))) / 2**20
+        except Exception:
+            return 0.0
+
     def dump_in_output_file(self, iteration: int, iter_time: float, data_time: float) -> None:
         if self.output_file is None or jax.process_index() != 0:
             return
-        entry = dict(iteration=iteration, iter_time=iter_time, data_time=data_time)
+        entry = dict(iteration=iteration, iter_time=iter_time, data_time=data_time,
+                     memory_mb=self.device_memory_mb())
         entry.update({k: v.median for k, v in self.meters.items()})
         with open(self.output_file, "a") as f:
             f.write(json.dumps(entry) + "\n")
@@ -135,6 +148,7 @@ class MetricLogger:
                             str(self),
                             f"time: {iter_time}",
                             f"data: {data_time}",
+                            f"max mem: {self.device_memory_mb():.0f}MB",
                         ]
                     )
                 )
@@ -142,3 +156,37 @@ class MetricLogger:
         total = time.time() - start
         print(f"{header} Total time: {datetime.timedelta(seconds=int(total))} "
               f"({total / max(n_iterations, 1):.6f} s / it)")
+
+
+class profile_trace:
+    """jax.profiler trace hook (SURVEY §5): wrap any training region to write a
+    TensorBoard-loadable device trace.
+
+        with profile_trace("/tmp/trace", enabled=args.profile):
+            ... train steps ...
+
+    No-op when disabled or when the backend can't trace (e.g. this image's
+    tunneled TPU) — failures degrade to a warning, never abort training.
+    """
+
+    def __init__(self, logdir: str, enabled: bool = True):
+        self.logdir = logdir
+        self.enabled = enabled
+        self._active = False
+
+    def __enter__(self):
+        if self.enabled:
+            try:
+                jax.profiler.start_trace(self.logdir)
+                self._active = True
+            except Exception as e:  # pragma: no cover - backend dependent
+                print(f"profiler trace unavailable: {e}")
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:  # pragma: no cover
+                print(f"profiler stop failed: {e}")
+        return False

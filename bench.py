@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 A100_EST_IMG_S = 10.0  # see module docstring
-BATCH = 12
+BATCH = 16   # the reference default batch (train.py:670) — fits since the pallas MSDA kernel
 IMSIZE = 588
 STEPS = 10
 

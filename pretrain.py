@@ -66,7 +66,8 @@ def main(args):
     from adaptersis_tpu.models.vit import build_backbone
     from adaptersis_tpu.ssl import MaskingGenerator, SSLConfig, SSLMetaArch, collate_masks
     from adaptersis_tpu.ssl.augment import multicrop_augment
-    from adaptersis_tpu.train import save_checkpoint, restore_checkpoint
+    from adaptersis_tpu.train import (PeriodicCheckpointer, restore_checkpoint,
+                                      save_checkpoint)
     from adaptersis_tpu.train.schedules import cosine_scheduler
     from adaptersis_tpu.utils import MetricLogger
 
@@ -126,6 +127,11 @@ def main(args):
 
     it = 0
     logger = MetricLogger()
+    # iteration-keyed keep-last-3 retention + model_final + last_checkpoint tag
+    # (reference: fvcore PeriodicCheckpointer, dinov2/train/train.py:158-162)
+    periodic = PeriodicCheckpointer(args.output_dir,
+                                    period=args.saveckp_freq * niter_per_ep,
+                                    max_iter=total, max_to_keep=3)
     data_iter = iter(loader)
     for epoch in range(args.epochs):
         for _ in range(niter_per_ep):
@@ -144,11 +150,10 @@ def main(args):
                 raise RuntimeError(f"NaN loss at iteration {it}")  # train.py:273-275
             logger.update(**{k: float(v) for k, v in metrics.items()})
             it += 1
-        print(f"epoch {epoch}: {logger}")
-        if epoch % args.saveckp_freq == 0 or epoch == args.epochs - 1:
-            save_checkpoint(args.output_dir, jax.device_get(
+            periodic.step(it - 1, jax.device_get(
                 {"student": state["student"], "teacher": state["teacher"],
-                 "step": state["step"]}), name="ssl_checkpoint")
+                 "step": state["step"]}))
+        print(f"epoch {epoch}: {logger}")
 
 
 if __name__ == "__main__":

@@ -75,6 +75,9 @@ def get_args_parser():
                         " (train.py:389-406 no_grad)")
     p.add_argument("--platform", default=None, type=str,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler device trace of epoch 0 to "
+                        "<output_dir>/trace (TensorBoard-loadable)")
     p.add_argument("--cross_test_path", default="", type=str,
                    help="optional second validation dataset root (cross-dataset "
                         "eval, reference eval_dinov2_setr_cross_ete.py:176,490)")
@@ -144,7 +147,7 @@ def train_seg(args):
         Trainer, TrainerConfig, load_dinov2_backbone_params,
         restore_checkpoint, save_checkpoint,
     )
-    from adaptersis_tpu.utils import MetricLogger, SmoothedValue
+    from adaptersis_tpu.utils import MetricLogger, SmoothedValue, profile_trace
 
     init_distributed(args.dist_url)
     print("\n".join(f"{k}: {v}" for k, v in sorted(vars(args).items())))
@@ -272,10 +275,12 @@ def train_seg(args):
         sampler.set_epoch(epoch)
         logger = MetricLogger(delimiter="  ")
         logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
-        for imgs, masks, _ in logger.log_every(train_loader, 20, f"Epoch: [{epoch}]"):
-            rng, step_rng = jax.random.split(rng)
-            state, loss = trainer.train_step(state, imgs, masks, step_rng, epoch)
-            logger.update(loss=float(loss), lr=trainer.lr_fn(epoch))
+        with profile_trace(os.path.join(args.output_dir, "trace"),
+                           enabled=args.profile and epoch == start_epoch):
+            for imgs, masks, _ in logger.log_every(train_loader, 20, f"Epoch: [{epoch}]"):
+                rng, step_rng = jax.random.split(rng)
+                state, loss = trainer.train_step(state, imgs, masks, step_rng, epoch)
+                logger.update(loss=float(loss), lr=trainer.lr_fn(epoch))
         logger.synchronize_between_processes()
         print("Averaged stats:", logger)
         train_stats = {k: m.global_avg for k, m in logger.meters.items()}
