@@ -179,3 +179,21 @@ def test_metric_logger_memory_and_profile_hook(tmp_path):
 
     row = json.loads(open(tmp_path / "log.jsonl").read().splitlines()[0])
     assert "memory_mb" in row
+
+
+def test_quality_parity_harness_logic(tmp_path, monkeypatch):
+    """Table/verdict logic of tools/quality_parity.py over a fabricated run
+    (the full synthetic dry-run is exercised by the CLI smoke)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import quality_parity as qp
+
+    log = tmp_path / "log.txt"
+    rows = [{"train_loss": 1.0, "epoch": 0},
+            {"test_dice": 0.90, "test_acc1": 0.95, "epoch": 1},
+            {"test_dice": 0.92, "test_acc1": 0.97, "epoch": 2}]
+    log.write_text("\n".join(json.dumps(r) for r in rows))
+    m = qp.final_metrics(str(tmp_path))
+    assert m == {"dice": 0.92, "acc1": 0.97}
