@@ -132,7 +132,10 @@ def _fold_inputs(value, sampling_locations, attention_weights, spatial_shapes,
         cols += [loc[:, :, l, :, 0] * W - 0.5, loc[:, :, l, :, 1] * H - 0.5,
                  aw[:, :, l, :]]
     f = jnp.concatenate(cols, axis=-1)
-    return vb, jnp.pad(f, [(0, 0), (0, Lqp - Lq), (0, 0)])
+    f = jnp.pad(f, [(0, 0), (0, Lqp - Lq), (0, 0)])
+    # factors ship TRANSPOSED (BM, F, Lqp): F≈12-36 on the sublane axis packs
+    # ~8× denser than lane-padding F to 128; kernels re-transpose per tile
+    return vb, f.transpose(0, 2, 1)
 
 
 def _level_factors(f, lvl, P):
@@ -155,7 +158,7 @@ def _corner_span(x0, y0, H, W, start):
     return s_lo, s_hi
 
 
-def _factors_t(hrow, wcol, x0, fx, y0, fy, p, grad):
+def _factors_t(hrow, wcol, x0, fx, y0, fy, p, grad, dtype=jnp.float32):
     """tx/ty bilinear one-hot factors on the (TQ, 1024) flat-lane tile for
     point p; out-of-range corners match no map entry (zero padding)."""
     x0p = x0[:, p:p + 1]
@@ -163,13 +166,15 @@ def _factors_t(hrow, wcol, x0, fx, y0, fy, p, grad):
     y0p = y0[:, p:p + 1]
     fyp = fy[:, p:p + 1]
     tx = (jnp.where(wcol == x0p, 1.0 - fxp, 0.0)
-          + jnp.where(wcol == x0p + 1, fxp, 0.0))
+          + jnp.where(wcol == x0p + 1, fxp, 0.0)).astype(dtype)
     ty = (jnp.where(hrow == y0p, 1.0 - fyp, 0.0)
-          + jnp.where(hrow == y0p + 1, fyp, 0.0))
+          + jnp.where(hrow == y0p + 1, fyp, 0.0)).astype(dtype)
     if not grad:
         return tx, ty, None, None
-    dtx = jnp.where(wcol == x0p + 1, 1.0, 0.0) - jnp.where(wcol == x0p, 1.0, 0.0)
-    dty = jnp.where(hrow == y0p + 1, 1.0, 0.0) - jnp.where(hrow == y0p, 1.0, 0.0)
+    dtx = (jnp.where(wcol == x0p + 1, 1.0, 0.0)
+           - jnp.where(wcol == x0p, 1.0, 0.0)).astype(dtype)
+    dty = (jnp.where(hrow == y0p + 1, 1.0, 0.0)
+           - jnp.where(hrow == y0p, 1.0, 0.0)).astype(dtype)
     return tx, ty, dtx, dty
 
 
@@ -184,152 +189,175 @@ def _active(span, g):
     return (s_hi >= g * _GW) & (s_lo < (g + 1) * _GW)
 
 
-def _fwd_kernel(spatial_shapes, G, starts, TQ, P, a_dtype, *refs):
+def _tile_state(fref, ts, TQ, spatial_shapes, starts, P):
+    """Per-query-tile factors + activation spans for every level."""
+    f = fref[0, :, pl.ds(ts, TQ)].T
+    facs = [_level_factors(f, l, P) for l in range(len(spatial_shapes))]
+    spans = [_corner_span(fc[0], fc[2], H, W, st)
+             for fc, (H, W), st in zip(facs, spatial_shapes, starts)]
+    return facs, spans
+
+
+def _build_a(facs, spans, maps, g, TQ, P):
+    """One (TQ, GW) A-tile for flat group g — levels under activation conds."""
+    a = jnp.zeros((TQ, _GW), jnp.float32)
+    for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
+        def build(a, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy, aw=aw):
+            hrow, wcol = _slice_maps(maps, lvl, g)
+            for p in range(P):
+                tx, ty, _, _ = _factors_t(hrow, wcol, x0, fx, y0, fy, p, False)
+                a = a + aw[:, p:p + 1] * (ty * tx)
+            return a
+
+        a = jax.lax.cond(_active(spans[lvl], g), build, lambda a: a, a)
+    return a
+
+
+def _any_hit(spans, g):
+    return functools.reduce(jnp.logical_or, [_active(s, g) for s in spans])
+
+
+def _fwd_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
     L = len(spatial_shapes)
     fref = refs[0]
     maps = refs[1:1 + 2 * L]
     vref = refs[1 + 2 * L]
     out_ref = refs[2 + 2 * L]
-    f = fref[0]
-    facs = [_level_factors(f, l, P) for l in range(len(spatial_shapes))]
-    spans = [_corner_span(fc[0], fc[2], H, W, st)
-             for fc, (H, W), st in zip(facs, spatial_shapes, starts)]
+    D = out_ref.shape[-1]
 
-    def group(g, acc):
-        a = jnp.zeros((TQ, _GW), jnp.float32)
-        for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
-            def build(a, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy, aw=aw):
-                hrow, wcol = _slice_maps(maps, lvl, g)
-                for p in range(P):
-                    tx, ty, _, _ = _factors_t(hrow, wcol, x0, fx, y0, fy, p, False)
-                    a = a + aw[:, p:p + 1] * (ty * tx)
-                return a
-            a = jax.lax.cond(_active(spans[lvl], g), build, lambda a: a, a)
+    def tile(qt, _):
+        ts = pl.multiple_of(qt * TQ, TQ)
+        facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
 
-        def dot(acc):
-            rows = pl.multiple_of(g * _GW, _GW)
-            vblk = vref[0, pl.ds(rows, _GW), :].astype(a_dtype)
-            return acc + jnp.dot(a.astype(a_dtype), vblk,
-                                 preferred_element_type=jnp.float32)
+        def group(g, acc):
+            def dot(acc):
+                a = _build_a(facs, spans, maps, g, TQ, P)
+                rows = pl.multiple_of(g * _GW, _GW)
+                vblk = vref[0, pl.ds(rows, _GW), :].astype(a_dtype)
+                return acc + jnp.dot(a.astype(a_dtype), vblk,
+                                     preferred_element_type=jnp.float32)
 
-        hit = functools.reduce(jnp.logical_or, [_active(s, g) for s in spans])
-        return jax.lax.cond(hit, dot, lambda acc: acc, acc)
+            return jax.lax.cond(_any_hit(spans, g), dot, lambda acc: acc, acc)
 
-    out_ref[0] = jax.lax.fori_loop(0, G, group, jnp.zeros(out_ref.shape[1:],
-                                                          jnp.float32))
+        out_ref[0, pl.ds(ts, TQ), :] = jax.lax.fori_loop(
+            0, G, group, jnp.zeros((TQ, D), jnp.float32)).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nQ, tile, 0)
 
 
-def _bwd_dv_kernel(spatial_shapes, G, starts, TQ, P, a_dtype, *refs):
+def _bwd_dv_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
+    """dV[group] += A_groupᵀ @ g — the whole per-(batch·head) dV block is
+    VMEM-resident for the kernel's single grid step."""
     L = len(spatial_shapes)
     fref = refs[0]
     maps = refs[1:1 + 2 * L]
     gref = refs[1 + 2 * L]
     dvref = refs[2 + 2 * L]
-    qt = pl.program_id(1)
+    dvref[0] = jnp.zeros_like(dvref[0])
 
-    @pl.when(qt == 0)
-    def _():
-        dvref[0] = jnp.zeros_like(dvref[0])
+    def tile(qt, _):
+        ts = pl.multiple_of(qt * TQ, TQ)
+        facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
+        gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)
 
-    f = fref[0]
-    gb = gref[0].astype(a_dtype)
-    facs = [_level_factors(f, l, P) for l in range(len(spatial_shapes))]
-    spans = [_corner_span(fc[0], fc[2], H, W, st)
-             for fc, (H, W), st in zip(facs, spatial_shapes, starts)]
+        def group(g, _):
+            def scatter(_):
+                a = _build_a(facs, spans, maps, g, TQ, P)
+                rows = pl.multiple_of(g * _GW, _GW)
+                dvref[0, pl.ds(rows, _GW), :] += jax.lax.dot_general(
+                    a.astype(a_dtype), gb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return 0
 
-    def group(g, _):
-        a = jnp.zeros((TQ, _GW), jnp.float32)
-        for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
-            def build(a, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy, aw=aw):
-                hrow, wcol = _slice_maps(maps, lvl, g)
-                for p in range(P):
-                    tx, ty, _, _ = _factors_t(hrow, wcol, x0, fx, y0, fy, p, False)
-                    a = a + aw[:, p:p + 1] * (ty * tx)
-                return a
-            a = jax.lax.cond(_active(spans[lvl], g), build, lambda a: a, a)
+            return jax.lax.cond(_any_hit(spans, g), scatter, lambda _: 0, 0)
 
-        def scatter(_):
-            rows = pl.multiple_of(g * _GW, _GW)
-            dvref[0, pl.ds(rows, _GW), :] += jax.lax.dot_general(
-                a.astype(a_dtype), gb, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return 0
+        jax.lax.fori_loop(0, G, group, 0)
+        return 0
 
-        hit = functools.reduce(jnp.logical_or, [_active(s, g) for s in spans])
-        return jax.lax.cond(hit, scatter, lambda _: 0, 0)
-
-    jax.lax.fori_loop(0, G, group, 0)
+    jax.lax.fori_loop(0, nQ, tile, 0)
 
 
-def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, P, a_dtype, *refs):
+def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
+    """dA formulation: ONE dot per active group (dA = g @ V'groupᵀ), then every
+    (level, point, variant) gradient is an elementwise product with the
+    bilinear factors followed by a full-lane reduce."""
     L = len(spatial_shapes)
     fref = refs[0]
     maps = refs[1:1 + 2 * L]
     vref = refs[1 + 2 * L]
     gref = refs[2 + 2 * L]
     dq_ref = refs[3 + 2 * L]
-    D = gref.shape[-1]
-    f = fref[0]
-    gq = gref[0].astype(jnp.float32)
-    gb = gref[0].astype(a_dtype)
-    facs = [_level_factors(f, l, P) for l in range(L)]
-    spans = [_corner_span(fc[0], fc[2], H, W, st)
-             for fc, (H, W), st in zip(facs, spatial_shapes, starts)]
 
-    # accumulators are (TQ, 1) per (level, point, variant): each group's dot is
-    # contracted with g IMMEDIATELY, so no (TQ, D) state survives the loop
-    def group(g, S):
-        S = list(S)
-        rows = pl.multiple_of(g * _GW, _GW)
-        for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
-            def build(S3, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy):
-                S3 = list(S3)
+    def tile(qt, _):
+        ts = pl.multiple_of(qt * TQ, TQ)
+        facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
+        gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)
+
+        gq = gb.astype(jnp.float32)
+
+        def group(g, S):
+            def run(S):
+                S = list(S)
+                rows = pl.multiple_of(g * _GW, _GW)
                 vblk = vref[0, pl.ds(rows, _GW), :].astype(a_dtype)
-                for p in range(P):
-                    tx, ty, dtx, dty = _factors_t(hrow_wcol[0], hrow_wcol[1],
-                                                  x0, fx, y0, fy, p, True)
+                for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
+                    def build(S3, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy):
+                        S3 = list(S3)
+                        hrow, wcol = _slice_maps(maps, lvl, g)
+                        for p in range(P):
+                            tx, ty, dtx, dty = _factors_t(
+                                hrow, wcol, x0, fx, y0, fy, p, True, a_dtype)
+                            # ⟨g, forward-with-swapped-factor⟩ per variant —
+                            # the three variant A-tiles ride ONE M-stacked dot
+                            abc = jnp.concatenate(
+                                [ty * tx, ty * dtx, dty * tx], axis=0)
+                            s = jnp.dot(abc, vblk,
+                                        preferred_element_type=jnp.float32)
+                            TQl = tx.shape[0]
+                            for j in range(3):
+                                S3[j * P + p] = S3[j * P + p] + jnp.sum(
+                                    gq * s[j * TQl:(j + 1) * TQl], axis=1,
+                                    keepdims=True)
+                        return tuple(S3)
 
-                    def gdot(ab):
-                        s = jnp.dot(ab.astype(a_dtype), vblk,
-                                    preferred_element_type=jnp.float32)
-                        return jnp.sum(gq * s, axis=1, keepdims=True)
+                    base = lvl * 3 * P
+                    S3 = tuple(S[base:base + 3 * P])
+                    S3 = jax.lax.cond(_active(spans[lvl], g), build,
+                                      lambda S3: tuple(S3), S3)
+                    S[base:base + 3 * P] = list(S3)
+                return tuple(S)
 
-                    S3[p] = S3[p] + gdot(ty * tx)
-                    S3[P + p] = S3[P + p] + gdot(ty * dtx)
-                    S3[2 * P + p] = S3[2 * P + p] + gdot(dty * tx)
-                return tuple(S3)
+            return jax.lax.cond(_any_hit(spans, g), run, lambda S: tuple(S),
+                                tuple(S))
 
-            hrow_wcol = _slice_maps(maps, lvl, g)
+        S = jax.lax.fori_loop(
+            0, G, group,
+            tuple(jnp.zeros((TQ, 1), jnp.float32) for _ in range(3 * P * L)))
+        dxs, dys, das = [], [], []
+        for lvl, (H, W) in enumerate(spatial_shapes):
+            aw = facs[lvl][4]
             base = lvl * 3 * P
-            S3 = tuple(S[base:base + 3 * P])
-            S3 = jax.lax.cond(_active(spans[lvl], g), build,
-                              lambda S3: tuple(S3), S3)
-            S[base:base + 3 * P] = list(S3)
-        return tuple(S)
+            da = jnp.concatenate([S[base + p] for p in range(P)], axis=1)
+            dx = jnp.concatenate([S[base + P + p] for p in range(P)], axis=1)
+            dy = jnp.concatenate([S[base + 2 * P + p] for p in range(P)], axis=1)
+            das.append(da)
+            dxs.append(dx * aw * W)
+            dys.append(dy * aw * H)
+        dq_ref[0, :, pl.ds(ts, TQ)] = jnp.concatenate(
+            dxs + dys + das, axis=1).T.astype(dq_ref.dtype)
+        return 0
 
-    S = jax.lax.fori_loop(
-        0, G, group,
-        tuple(jnp.zeros((TQ, 1), jnp.float32) for _ in range(3 * P * L)))
-    dxs, dys, das = [], [], []
-    for lvl, (H, W) in enumerate(spatial_shapes):
-        aw = facs[lvl][4]
-        base = lvl * 3 * P
-        da = jnp.concatenate([S[base + p] for p in range(P)], axis=1)
-        dx = jnp.concatenate([S[base + P + p] for p in range(P)], axis=1)
-        dy = jnp.concatenate([S[base + 2 * P + p] for p in range(P)], axis=1)
-        das.append(da)
-        dxs.append(dx * aw * W)
-        dys.append(dy * aw * H)
-    dq_ref[0] = jnp.concatenate(dxs + dys + das, axis=1)
+    jax.lax.fori_loop(0, nQ, tile, 0)
 
 
-def _tile_spec(TQ, lastdim):
-    return pl.BlockSpec((1, TQ, lastdim), lambda bm, qt: (bm, qt, 0),
+def _full_spec(rows, lastdim):
+    return pl.BlockSpec((1, rows, lastdim), lambda bm: (bm, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _v_spec(G, D):
-    return pl.BlockSpec((1, G * _GW, D), lambda bm, qt: (bm, 0, 0),
+def _fspec(F, Lqp):
+    return pl.BlockSpec((1, F, Lqp), lambda bm: (bm, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -338,7 +366,7 @@ def _map_args(maps):
     args = []
     for hrow, wcol in maps:
         args += [jnp.asarray(hrow), jnp.asarray(wcol)]
-    specs = [pl.BlockSpec(a.shape, lambda bm, qt: (0, 0),
+    specs = [pl.BlockSpec(a.shape, lambda bm: (0, 0),
                           memory_space=pltpu.VMEM) for a in args]
     return args, specs
 
@@ -355,16 +383,17 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes):
 
     map_args, map_specs = _map_args(maps)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, spatial_shapes, G, starts, TQ, P,
-                          value.dtype),
-        grid=(BM, Lqp // TQ),
-        in_specs=[_tile_spec(TQ, f.shape[-1])] + map_specs + [_v_spec(G, D)],
-        out_specs=_tile_spec(TQ, D),
-        out_shape=jax.ShapeDtypeStruct((BM, Lqp, D), jnp.float32),
+        functools.partial(_fwd_kernel, spatial_shapes, G, starts, TQ,
+                          Lqp // TQ, P, value.dtype),
+        grid=(BM,),
+        in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
+        + [_full_spec(G * _GW, D)],
+        out_specs=_full_spec(Lqp, D),
+        out_shape=jax.ShapeDtypeStruct((BM, Lqp, D), value.dtype),
         interpret=_interpret(),
     )(f, *map_args, vb)
     out = out[:, :Lq].reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
-    return out.reshape(B, Lq, M * D)
+    return out.reshape(B, Lq, M * D).astype(jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -393,33 +422,36 @@ def _msda_bwd(spatial_shapes, res, grad):
     vb, f = _fold_inputs(value, sampling_locations, attention_weights,
                          spatial_shapes, Lqp, G)
     g = grad.reshape(B, Lq, M, D).transpose(0, 2, 1, 3).reshape(BM, Lq, D)
-    g = jnp.pad(g.astype(jnp.float32), [(0, 0), (0, Lqp - Lq), (0, 0)])
+    # ship g (and the dq outputs) in value.dtype: halves the whole-Lqp VMEM
+    # blocks on the bf16 path; the fp32 parity path is unchanged
+    g = jnp.pad(g.astype(value.dtype), [(0, 0), (0, Lqp - Lq), (0, 0)])
 
     map_args, map_specs = _map_args(maps)
-    # the dq kernel holds four (TQ, 1024) factor tensors at once — run it at
-    # half the query tile to stay under the VMEM budget
+    # the dq kernel keeps ~6 (TQ, 1024) factor tensors live — run its in-kernel
+    # tile loop at half the tile (grid cost is amortized: one step per bm)
     TQd = max(8, TQ // 2)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, spatial_shapes, G, starts,
-                          TQd, P, value.dtype),
-        grid=(BM, Lqp // TQd),
-        in_specs=[_tile_spec(TQd, f.shape[-1])] + map_specs
-        + [_v_spec(G, D), _tile_spec(TQd, D)],
-        out_specs=_tile_spec(TQd, 3 * L * P),
-        out_shape=jax.ShapeDtypeStruct((BM, Lqp, 3 * L * P), jnp.float32),
+        functools.partial(_bwd_dq_kernel, spatial_shapes, G, starts, TQd,
+                          Lqp // TQd, P, value.dtype),
+        grid=(BM,),
+        in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
+        + [_full_spec(G * _GW, D), _full_spec(Lqp, D)],
+        out_specs=_fspec(3 * L * P, Lqp),
+        out_shape=jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), value.dtype),
         interpret=_interpret(),
     )(f, *map_args, vb, g)
+    dq = dq.astype(jnp.float32).transpose(0, 2, 1)
     dx = dq[:, :, :L * P]
     dy = dq[:, :, L * P:2 * L * P]
     da = dq[:, :, 2 * L * P:]
 
     dv = pl.pallas_call(
-        functools.partial(_bwd_dv_kernel, spatial_shapes, G, starts,
-                          TQ, P, value.dtype),
-        grid=(BM, Lqp // TQ),
-        in_specs=[_tile_spec(TQ, f.shape[-1])] + map_specs
-        + [_tile_spec(TQ, D)],
-        out_specs=_v_spec(G, D),
+        functools.partial(_bwd_dv_kernel, spatial_shapes, G, starts, TQ,
+                          Lqp // TQ, P, value.dtype),
+        grid=(BM,),
+        in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
+        + [_full_spec(Lqp, D)],
+        out_specs=_full_spec(G * _GW, D),
         out_shape=jax.ShapeDtypeStruct((BM, G * _GW, D), jnp.float32),
         interpret=_interpret(),
     )(f, *map_args, g)
