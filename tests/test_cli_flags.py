@@ -7,6 +7,9 @@
   /255-after-Normalize dataset quirk)
 """
 
+import importlib.util
+import sys
+
 import numpy as np
 import pytest
 
@@ -14,8 +17,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _train_mod():
+    """Load /root/repo/train.py by path — other tests put /root/reference on
+    sys.path, where a same-named train.py lives."""
+    if "repo_train" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "repo_train", "/root/repo/train.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["repo_train"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["repo_train"]
+
+
 def _args(**kw):
-    import train as train_mod
+    train_mod = _train_mod()
 
     parser = train_mod.get_args_parser()
     args = parser.parse_args([])
@@ -25,7 +40,7 @@ def _args(**kw):
 
 
 def test_opts_dotlist_overrides_arch(tmp_path):
-    import train as train_mod
+    train_mod = _train_mod()
 
     cfg = tmp_path / "cfg.yaml"
     cfg.write_text("student:\n  arch: vit_base\n  patch_size: 14\n")
@@ -42,7 +57,7 @@ def test_opts_dotlist_overrides_arch(tmp_path):
 
 
 def test_opts_rejects_malformed():
-    import train as train_mod
+    train_mod = _train_mod()
 
     with pytest.raises(SystemExit):
         train_mod._merge_dotlist({}, ["no_equals_sign"])
