@@ -63,7 +63,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _GW = 1024       # flat source pixels per group (A-tile lane count)
-_TQ = 256        # query-tile rows
+_TQ = 128        # query-tile rows
 _SENTINEL = -(2 ** 30)
 
 # Tests force interpret mode explicitly; None → interpret off TPU backends.
@@ -427,9 +427,10 @@ def _msda_bwd(spatial_shapes, res, grad):
     g = jnp.pad(g.astype(value.dtype), [(0, 0), (0, Lqp - Lq), (0, 0)])
 
     map_args, map_specs = _map_args(maps)
-    # the dq kernel keeps ~6 (TQ, 1024) factor tensors live — run its in-kernel
-    # tile loop at half the tile (grid cost is amortized: one step per bm)
-    TQd = max(8, TQ // 2)
+    # the dq kernel keeps ~6 (TQ, 1024) factor tensors live — halve its tile
+    # when TQ is large (lane-sliced factor reads need 128-multiples, so never
+    # below 128; tiny interpret-mode shapes keep TQ as-is)
+    TQd = TQ if TQ <= 128 else max(128, TQ // 2)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, spatial_shapes, G, starts, TQd,
                           Lqp // TQd, P, value.dtype),
