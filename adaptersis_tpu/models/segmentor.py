@@ -108,12 +108,16 @@ class AdapterSegmentor(nn.Module):
         # ---- clean frozen forward → last-n normed patch-token taps (train.py:287-298)
         tokens, _ = self.backbone.embed(x, with_pos_cls=True)
         tap_idx = list(range(depth - n, depth))
-        raw_taps = self.backbone.collect_block_outputs(tokens, tap_idx, remat_untapped=train)
+        # NO remat here: the whole walk sits under stop_gradient, so no
+        # residuals are ever needed — rematerializing made XLA re-run the
+        # frozen blocks in the backward anyway (~150 ms/step measured, the
+        # recompute is not DCE'd)
+        raw_taps = self.backbone.collect_block_outputs(tokens, tap_idx)
         taps = [sg(self.backbone.final_norm(t)[:, 1:]) for t in raw_taps]
 
         # ---- adapter re-walk: no cls, no pos embed (train.py:300-301) ----
         xa, _ = self.backbone.embed(x, with_pos_cls=False)
-        xa = sg(self.backbone.run_blocks(xa, 0, depth - (n - 1), remat=train))
+        xa = sg(self.backbone.run_blocks(xa, 0, depth - (n - 1)))
 
         round_outputs = []
         for r in range(n):
