@@ -57,10 +57,13 @@ def interp_matrix_nearest(idx: jax.Array, in_size: int) -> jax.Array:
 def apply_interp(x: jax.Array, M: jax.Array, axis: int) -> jax.Array:
     """Contract interpolation matrix M (out, in) against `axis` of x on the MXU."""
     nd = x.ndim
+    # HIGHEST precision: TPU f32 matmuls otherwise decompose to bf16 passes,
+    # costing ~1e-3 relative error on interpolation weights
     y = jax.lax.dot_general(
         x, M.astype(x.dtype),
         dimension_numbers=(((axis,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(x.dtype)
     # contracted axis is removed, matrix `out` dim appended last — restore order
     perm = list(range(nd - 1))

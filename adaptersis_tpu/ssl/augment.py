@@ -7,10 +7,11 @@ solarize p=.2 on crop 2) + n local crops (scale (0.05, 0.32) → S_l, same
 photometric minus solarize). ImageNet mean/std normalization
 (dinov2/data/transforms.py:42-43).
 
-TPU formulation: crop+resize as coordinate gathers (static shapes), photometric
-ops as fused elementwise programs, blur as a 2-pass separable conv with a fixed
-9-tap kernel (torchvision GaussianBlur draws sigma∈[0.1,2]; we draw sigma the same
-way and build the kernel on the fly).
+TPU formulation: crop+resize as dynamically-built interpolation-MATRIX matmuls
+and blur as banded-matrix matmuls (9-tap separable gaussian; sigma∈[0.1,2]
+drawn per torchvision). Dynamic-index gathers and vmapped jnp.convolve both
+lower pathologically on TPU — this module once cost 355 s per batch; as
+matmuls it is milliseconds (same lesson as ops/resize.py / data/clahe.py).
 """
 
 from __future__ import annotations
@@ -20,6 +21,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.resize import apply_interp, interp_matrix_bilinear
 
 IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
@@ -41,18 +44,9 @@ def _rrc_coords(key, H, W, out: int, scale: Tuple[float, float], ratio=(3 / 4, 4
 def _crop_resize(img, y0, x0, h, w, out):
     ys = y0 + (jnp.arange(out) + 0.5) * h / out - 0.5
     xs = x0 + (jnp.arange(out) + 0.5) * w / out - 0.5
-
-    def lerp(a, cs, axis):
-        cs = jnp.clip(cs, 0, a.shape[axis] - 1)
-        i0 = jnp.floor(cs).astype(jnp.int32)
-        i1 = jnp.minimum(i0 + 1, a.shape[axis] - 1)
-        t = cs - i0
-        sh = [1] * a.ndim
-        sh[axis] = cs.shape[0]
-        return jnp.take(a, i0, axis=axis) * (1 - t.reshape(sh)) + \
-            jnp.take(a, i1, axis=axis) * t.reshape(sh)
-
-    return lerp(lerp(img, ys, 0), xs, 1)
+    My = interp_matrix_bilinear(ys, img.shape[0])
+    Mx = interp_matrix_bilinear(xs, img.shape[1])
+    return apply_interp(apply_interp(img, My, 0), Mx, 1)
 
 
 def _color_jitter(key, img):  # img in [0,1]
@@ -73,6 +67,16 @@ def _color_jitter(key, img):  # img in [0,1]
     return img
 
 
+def _blur_matrix(k, r: int, S: int):
+    """(S, S) banded gaussian matrix: M[o, i] = k[i−o+r], zero-padded borders
+    (jnp.convolve mode="same" semantics)."""
+    d = jnp.arange(S)[None, :] - jnp.arange(S)[:, None]     # i − o
+    M = jnp.zeros((S, S), jnp.float32)
+    for t in range(2 * r + 1):
+        M = M + jnp.where(d == t - r, k[t], 0.0)
+    return M
+
+
 def _gaussian_blur(key, img, p: float):
     kp, ks = jax.random.split(key)
     sigma = jax.random.uniform(ks, (), minval=0.1, maxval=2.0)
@@ -80,11 +84,8 @@ def _gaussian_blur(key, img, p: float):
     xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (xs / sigma) ** 2)
     k = k / k.sum()
-    # separable: rows then cols, per channel
-    def blur2d(c):  # (H, W)
-        c1 = jax.vmap(lambda row: jnp.convolve(row, k, mode="same"))(c)
-        return jax.vmap(lambda col: jnp.convolve(col, k, mode="same"))(c1.T).T
-    out = jnp.stack([blur2d(img[..., i]) for i in range(3)], axis=-1)
+    out = apply_interp(img, _blur_matrix(k, r, img.shape[0]), 0)
+    out = apply_interp(out, _blur_matrix(k, r, img.shape[1]), 1)
     return jnp.where(jax.random.bernoulli(kp, p), out, img)
 
 
@@ -97,6 +98,8 @@ def _normalize(img):
     return (img - IMAGENET_MEAN) / IMAGENET_STD
 
 
+@partial(jax.jit, static_argnames=("global_size", "local_size", "n_local",
+                                   "global_scale", "local_scale"))
 def multicrop_augment(images_u8: jax.Array, rng: jax.Array, global_size: int = 224,
                       local_size: int = 96, n_local: int = 8,
                       global_scale=(0.32, 1.0), local_scale=(0.05, 0.32)):

@@ -62,6 +62,12 @@ def main(args):
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent compilation cache: first compiles of the big jitted programs
+    # go through this image's remote-compile tunnel (minutes); cache them
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     from adaptersis_tpu.data import DataLoader, ShardedInfiniteSampler, SyntheticSeg
     from adaptersis_tpu.models.vit import build_backbone
     from adaptersis_tpu.ssl import MaskingGenerator, SSLConfig, SSLMetaArch, collate_masks

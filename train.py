@@ -140,6 +140,12 @@ def train_seg(args):
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: first compiles of the big jitted programs
+    # go through this image's remote-compile tunnel (minutes); cache them
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     from adaptersis_tpu.data import DATASETS, DataLoader, EpochSampler, SyntheticSeg
     from adaptersis_tpu.models import AdapterSegmentor, build_backbone
     from adaptersis_tpu.parallel import get_mesh, init_distributed, is_main_process
