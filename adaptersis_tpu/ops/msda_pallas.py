@@ -109,7 +109,10 @@ def _plan(spatial_shapes):
 
 
 def _prep_shapes(Lq):
-    TQ = min(_TQ, _round_up(Lq, 8))
+    # tiles must be 128-multiples on hardware: factor/gradient blocks are
+    # lane-sliced per tile (Mosaic requires provable 128-aligned lane offsets;
+    # Lq=100 at 140 px used to produce TQ=104 and fail to compile on TPU)
+    TQ = min(_TQ, _round_up(Lq, 128))
     return TQ, _round_up(Lq, TQ)
 
 
