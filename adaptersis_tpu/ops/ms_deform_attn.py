@@ -220,7 +220,10 @@ class MSDeformAttn(nn.Module):
         if impl == "pallas":
             from . import msda_pallas
 
-            if not msda_pallas.supported(shapes_t):
+            if not msda_pallas.supported(
+                    shapes_t, D=d_value // self.n_heads, Lq=Lq,
+                    P=self.n_points,
+                    dtype_bytes=jnp.dtype(self.dtype).itemsize):
                 impl = "matmul"
         if impl == "pallas":
             from .msda_pallas import msda_pallas as _pallas_op

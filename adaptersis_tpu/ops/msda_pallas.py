@@ -80,9 +80,40 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def supported(spatial_shapes, D: int = 0) -> bool:
-    return len(spatial_shapes) > 0 and all(h >= 1 and w >= 1
-                                           for h, w in spatial_shapes)
+def supported(spatial_shapes, D: int = 0, Lq: int = 0, P: int = 4,
+              dtype_bytes: int = 4, vmem_limit: int = 14 * 2 ** 20) -> bool:
+    """Geometry + scoped-VMEM feasibility check.
+
+    The kernels keep whole blocks VMEM-resident per (batch·head) grid instance:
+    the (G·1024, D) value / dV blocks, the (Lqp, D) grad/output blocks, the
+    packed factor array, the constant coordinate maps, and several (TQ, 1024)
+    factor tiles as scratch. Every bm-indexed block is double-buffered by
+    Mosaic; the scoped-VMEM ceiling is ~16 MB. Estimate the worst kernel's
+    footprint and refuse above `vmem_limit` so the wrapper's matmul fallback
+    actually engages instead of failing at compile time."""
+    if len(spatial_shapes) == 0 or any(h < 1 or w < 1 for h, w in spatial_shapes):
+        return False
+    if not (D and Lq):
+        return True  # geometry-only query (legacy callers)
+    L = len(spatial_shapes)
+    S = sum(h * w for h, w in spatial_shapes)
+    G = _round_up(S, _GW) // _GW
+    TQ, Lqp = _prep_shapes(Lq)
+    F = 3 * L * P
+    maps_b = 2 * L * G * _GW * 4          # constant index → single-buffered
+    f_b = 2 * F * Lqp * 4                 # packed factors, double-buffered
+    v_b = 2 * G * _GW * D * dtype_bytes
+    g_b = 2 * Lqp * D * dtype_bytes
+    out_fwd = 2 * Lqp * D * dtype_bytes
+    dv_out = 2 * G * _GW * D * 4          # fp32 accumulation output
+    dq_out = 2 * F * Lqp * dtype_bytes
+    tile = TQ * _GW * 4
+    # fwd/dv build one A tile (+casts); dq additionally keeps tx/ty/dtx/dty
+    # and the 3-stacked variant tile live
+    fwd = maps_b + f_b + v_b + out_fwd + 4 * tile
+    bwd_dv = maps_b + f_b + g_b + dv_out + 4 * tile
+    bwd_dq = maps_b + f_b + v_b + g_b + dq_out + 8 * tile
+    return max(fwd, bwd_dv, bwd_dq) <= vmem_limit
 
 
 @functools.lru_cache(maxsize=64)

@@ -156,9 +156,12 @@ def main(args):
                 raise RuntimeError(f"NaN loss at iteration {it}")  # train.py:273-275
             logger.update(**{k: float(v) for k, v in metrics.items()})
             it += 1
-            periodic.step(it - 1, jax.device_get(
-                {"student": state["student"], "teacher": state["teacher"],
-                 "step": state["step"]}))
+            # only materialize the (multi-GB at ViT scale) state on host when
+            # this iteration actually saves — device_get is a full transfer+sync
+            if it % periodic.period == 0 or it >= total:
+                periodic.step(it - 1, jax.device_get(
+                    {"student": state["student"], "teacher": state["teacher"],
+                     "step": state["step"]}))
         print(f"epoch {epoch}: {logger}")
 
 

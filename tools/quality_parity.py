@@ -35,6 +35,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import train as train_mod  # noqa: E402
 
 METRIC_KEYS = ("dice", "acc1", "ch_iou", "isi_iou", "loss")
+LOWER_IS_BETTER = {"loss"}
 
 
 def parse_args():
@@ -73,8 +74,11 @@ def main():
             continue
         r = ref.get(k)
         delta = None if r is None else ours[k] - r
-        verdict = "—" if delta is None else (
-            "PASS" if abs(delta) <= args.tolerance or ours[k] > r else "FAIL")
+        if delta is None:
+            verdict = "—"
+        else:
+            better = ours[k] < r if k in LOWER_IS_BETTER else ours[k] > r
+            verdict = "PASS" if abs(delta) <= args.tolerance or better else "FAIL"
         ok &= verdict != "FAIL"
         rows.append((k, ours[k], r, delta, verdict))
 
