@@ -34,7 +34,7 @@ copy-paste bug where round 4 re-runs blocks[-2:-1] instead of the final block
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -61,11 +61,14 @@ class AdapterSegmentor(nn.Module):
     parity_frozen_head: bool = False     # reproduce train.py:389-406 no_grad quirk
     mla_last_block_bug: bool = False     # reproduce train_mla.py:339-341
     msda_impl: str = "gather"            # deformable-attention impl (see ops/)
+    encoder_inplanes: int = 64           # FeatureEncoder width (ref encoders.py:5)
+    decoder_features: Optional[Sequence[int]] = None  # ref decoders.py:93 default
     dtype: Dtype = jnp.float32
 
     def setup(self):
         E = self.backbone.embed_dim
-        self.encoder = FeatureEncoder(embed_dim=E, dtype=self.dtype)
+        self.encoder = FeatureEncoder(inplanes=self.encoder_inplanes,
+                                      embed_dim=E, dtype=self.dtype)
         self.cross_vit = CAViT(
             dim=E, num_heads=self.adapter_num_heads, n_points=self.adapter_n_points,
             n_levels=3, init_values=0.0, msda_impl=self.msda_impl, dtype=self.dtype,
@@ -77,7 +80,10 @@ class AdapterSegmentor(nn.Module):
         )
         self.level_embed = self.param("level_embed", nn.initializers.zeros, (3, E), jnp.float32)
         if self.decoder_type == "feature":
-            self.decoder = FeatureDecoder(num_classes=self.num_classes, dtype=self.dtype)
+            kw = ({"features": tuple(self.decoder_features)}
+                  if self.decoder_features else {})
+            self.decoder = FeatureDecoder(num_classes=self.num_classes,
+                                          dtype=self.dtype, **kw)
         elif self.decoder_type == "mla":
             self.decoder = DecoderMLA(num_classes=self.num_classes, dtype=self.dtype)
         elif self.decoder_type == "setr":

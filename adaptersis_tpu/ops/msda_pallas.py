@@ -339,20 +339,24 @@ def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
                     def build(S3, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy):
                         S3 = list(S3)
                         hrow, wcol = _slice_maps(maps, lvl, g)
+                        # ⟨g, forward-with-swapped-factor⟩ per (point, variant):
+                        # ALL 3·P variant A-tiles ride ONE M-stacked MXU dot —
+                        # Mosaic's per-dot fixed cost (~2 µs regardless of size)
+                        # dominates at these shapes, so fewer, taller dots win
+                        tiles = []
                         for p in range(P):
                             tx, ty, dtx, dty = _factors_t(
                                 hrow, wcol, x0, fx, y0, fy, p, True, a_dtype)
-                            # ⟨g, forward-with-swapped-factor⟩ per variant —
-                            # the three variant A-tiles ride ONE M-stacked dot
-                            abc = jnp.concatenate(
-                                [ty * tx, ty * dtx, dty * tx], axis=0)
-                            s = jnp.dot(abc, vblk,
-                                        preferred_element_type=jnp.float32)
-                            TQl = tx.shape[0]
+                            tiles += [ty * tx, ty * dtx, dty * tx]
+                        abc = jnp.concatenate(tiles, axis=0)
+                        s = jnp.dot(abc, vblk,
+                                    preferred_element_type=jnp.float32)
+                        TQl = abc.shape[0] // (3 * P)
+                        for p in range(P):
                             for j in range(3):
+                                r = (p * 3 + j) * TQl
                                 S3[j * P + p] = S3[j * P + p] + jnp.sum(
-                                    gq * s[j * TQl:(j + 1) * TQl], axis=1,
-                                    keepdims=True)
+                                    gq * s[r:r + TQl], axis=1, keepdims=True)
                         return tuple(S3)
 
                     base = lvl * 3 * P
@@ -383,6 +387,100 @@ def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
         return 0
 
     jax.lax.fori_loop(0, nQ, tile, 0)
+
+
+def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
+    """dq + dV in ONE kernel: the ty·tx variant tiles the dq gdots already
+    build are reused to accumulate the A-tile (a += aw_p·(ty·tx), a_dtype),
+    then dV[group] += Aᵀ @ g — the separate dV kernel's whole factor rebuild
+    and its extra g/v block traffic disappear.  Measured (round 2, standalone
+    flagship shapes): CAViT fwd+bwd 87→75 ms, CACNN 65→49 ms.  NOT the default:
+    this image's remote-compile helper deterministically dies (HTTP 500)
+    lowering the full ViT-L@588 train graph with it at bs≥12 (see CLAUDE.md);
+    enable via `use_merged_bwd(True)` where the toolchain allows."""
+    L = len(spatial_shapes)
+    fref = refs[0]
+    maps = refs[1:1 + 2 * L]
+    vref = refs[1 + 2 * L]
+    gref = refs[2 + 2 * L]
+    dq_ref = refs[3 + 2 * L]
+    dv_ref = refs[4 + 2 * L]
+    dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    def tile(qt, _):
+        ts = pl.multiple_of(qt * TQ, TQ)
+        facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
+        gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)
+        gq = gb.astype(jnp.float32)
+
+        def group(g, S):
+            def run(S):
+                S = list(S)
+                rows = pl.multiple_of(g * _GW, _GW)
+                vblk = vref[0, pl.ds(rows, _GW), :].astype(a_dtype)
+                a = jnp.zeros((TQ, _GW), a_dtype)
+                for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
+                    def build(carry, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
+                              aw=aw):
+                        a, S3 = carry
+                        S3 = list(S3)
+                        hrow, wcol = _slice_maps(maps, lvl, g)
+                        tiles = []
+                        for p in range(P):
+                            tx, ty, dtx, dty = _factors_t(
+                                hrow, wcol, x0, fx, y0, fy, p, True, a_dtype)
+                            tiles += [ty * tx, ty * dtx, dty * tx]
+                            a = a + aw[:, p:p + 1].astype(a_dtype) * tiles[3 * p]
+                        abc = jnp.concatenate(tiles, axis=0)
+                        s = jnp.dot(abc, vblk,
+                                    preferred_element_type=jnp.float32)
+                        TQl = abc.shape[0] // (3 * P)
+                        for p in range(P):
+                            for j in range(3):
+                                r = (p * 3 + j) * TQl
+                                S3[j * P + p] = S3[j * P + p] + jnp.sum(
+                                    gq * s[r:r + TQl], axis=1, keepdims=True)
+                        return a, tuple(S3)
+
+                    base = lvl * 3 * P
+                    S3 = tuple(S[base:base + 3 * P])
+                    a, S3 = jax.lax.cond(_active(spans[lvl], g), build,
+                                         lambda c: c, (a, S3))
+                    S[base:base + 3 * P] = list(S3)
+                dv_ref[0, pl.ds(rows, _GW), :] += jax.lax.dot_general(
+                    a, gb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+                return tuple(S)
+
+            return jax.lax.cond(_any_hit(spans, g), run, lambda S: tuple(S),
+                                tuple(S))
+
+        S = jax.lax.fori_loop(
+            0, G, group,
+            tuple(jnp.zeros((TQ, 1), jnp.float32) for _ in range(3 * P * L)))
+        dxs, dys, das = [], [], []
+        for lvl, (H, W) in enumerate(spatial_shapes):
+            aw = facs[lvl][4]
+            base = lvl * 3 * P
+            da = jnp.concatenate([S[base + p] for p in range(P)], axis=1)
+            dx = jnp.concatenate([S[base + P + p] for p in range(P)], axis=1)
+            dy = jnp.concatenate([S[base + 2 * P + p] for p in range(P)], axis=1)
+            das.append(da)
+            dxs.append(dx * aw * W)
+            dys.append(dy * aw * H)
+        dq_ref[0, :, pl.ds(ts, TQ)] = jnp.concatenate(
+            dxs + dys + das, axis=1).T.astype(dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nQ, tile, 0)
+
+
+_MERGED_BWD = False
+
+
+def use_merged_bwd(on: bool) -> None:
+    global _MERGED_BWD
+    _MERGED_BWD = on
 
 
 def _full_spec(rows, lastdim):
@@ -465,6 +563,31 @@ def _msda_bwd(spatial_shapes, res, grad):
     # when TQ is large (lane-sliced factor reads need 128-multiples, so never
     # below 128; tiny interpret-mode shapes keep TQ as-is)
     TQd = TQ if TQ <= 128 else max(128, TQ // 2)
+    if _MERGED_BWD:
+        dq, dv = pl.pallas_call(
+            functools.partial(_bwd_merged_kernel, spatial_shapes, G, starts,
+                              TQd, Lqp // TQd, P, value.dtype),
+            grid=(BM,),
+            in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
+            + [_full_spec(G * _GW, D), _full_spec(Lqp, D)],
+            out_specs=[_fspec(3 * L * P, Lqp), _full_spec(G * _GW, D)],
+            out_shape=[jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), value.dtype),
+                       jax.ShapeDtypeStruct((BM, G * _GW, D), value.dtype)],
+            interpret=_interpret(),
+        )(f, *map_args, vb, g)
+        dq = dq.astype(jnp.float32).transpose(0, 2, 1)
+        dx = dq[:, :, :L * P]
+        dy = dq[:, :, L * P:2 * L * P]
+        da = dq[:, :, 2 * L * P:]
+        dv = dv.astype(jnp.float32)[:, :S].reshape(B, M, S, D).transpose(0, 2, 1, 3)
+
+        def unfold_qm(t):
+            return t[:, :Lq].reshape(B, M, Lq, L, P).transpose(0, 2, 1, 3, 4)
+
+        dloc = jnp.stack([unfold_qm(dx), unfold_qm(dy)], axis=-1)
+        daw = unfold_qm(da)
+        return (dv.astype(value.dtype), dloc.astype(sampling_locations.dtype),
+                daw.astype(attention_weights.dtype))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, spatial_shapes, G, starts, TQd,
                           Lqp // TQd, P, value.dtype),

@@ -23,6 +23,7 @@ A100_EST_IMG_S = 10.0  # see module docstring
 BATCH = 16   # the reference default batch (train.py:670) — fits since the pallas MSDA kernel
 IMSIZE = 588
 STEPS = 10
+REPEATS = 3  # median-of-3: run-to-run spread on this tunnel is ~6% (ROUND2_NOTES #8)
 
 
 def main() -> None:
@@ -61,23 +62,32 @@ def main() -> None:
     state = trainer.init_state((imgs, masks))
     key = jax.random.PRNGKey(0)
 
-    # warmup + compile
-    state, loss = trainer.train_step(state, imgs, masks, key, epoch=0)
-    float(loss)
-
-    t0 = time.perf_counter()
-    for i in range(STEPS):
+    # warmup + compile (2 warm steps: the first post-compile step still pays
+    # one-time allocator/donation work)
+    for _ in range(2):
         key, k = jax.random.split(key)
         state, loss = trainer.train_step(state, imgs, masks, k, epoch=0)
-    float(loss)
-    dt = time.perf_counter() - t0
+        float(loss)
 
-    img_s_chip = batch * STEPS / dt / n_chips
+    # pinned protocol (VERDICT r2 #10): REPEATS timed windows of STEPS fused
+    # steps each, report the MEDIAN window and the min/max spread
+    rates = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            key, k = jax.random.split(key)
+            state, loss = trainer.train_step(state, imgs, masks, k, epoch=0)
+        float(loss)
+        dt = time.perf_counter() - t0
+        rates.append(batch * STEPS / dt / n_chips)
+
+    img_s_chip = sorted(rates)[len(rates) // 2]
     print(json.dumps({
         "metric": "vitl14_588_adapter_train_images_per_sec_per_chip",
         "value": round(img_s_chip, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s_chip / A100_EST_IMG_S, 3),
+        "spread": [round(min(rates), 3), round(max(rates), 3)],
     }))
 
 

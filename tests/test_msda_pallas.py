@@ -47,6 +47,37 @@ def test_pallas_msda_matches_gather_fwd_and_grads(shapes, Lq):
                                    rtol=1e-4, atol=1e-4, err_msg=f"grad {i}")
 
 
+@pytest.mark.parametrize("shapes,Lq", [
+    ([(8, 8), (4, 4), (2, 2)], 9),
+    ([(40, 37)], 20),
+])
+def test_merged_bwd_matches_split(shapes, Lq):
+    """The merged dq+dV kernel must produce the same gradients as the split
+    two-kernel backward (fp32 path: bit-identical accumulation order per
+    group, so tight tolerances)."""
+    rng = np.random.default_rng(3)
+    L = len(shapes)
+    B, M, D, P = 2, 2, 8, 4
+    S = sum(h * w for h, w in shapes)
+    v = jnp.asarray(rng.standard_normal((B, S, M, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (B, Lq, M, L, P, 2)), jnp.float32)
+    aw = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, L, P)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, Lq, M * D)), jnp.float32)
+
+    def loss(v_, l_, w_):
+        return (mp.msda_pallas(v_, l_, w_, tuple(shapes)) * t).sum()
+
+    g_split = jax.grad(loss, argnums=(0, 1, 2))(v, loc, aw)
+    mp.use_merged_bwd(True)
+    try:
+        g_merged = jax.grad(loss, argnums=(0, 1, 2))(v, loc, aw)
+    finally:
+        mp.use_merged_bwd(False)
+    for i, (x, y) in enumerate(zip(g_split, g_merged)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"grad {i}")
+
+
 def test_pallas_module_dispatch_matches_gather():
     from adaptersis_tpu.models.adapters import get_reference_points
     from adaptersis_tpu.ops.ms_deform_attn import MSDeformAttn

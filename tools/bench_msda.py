@@ -1,81 +1,87 @@
 #!/usr/bin/env python
-"""Microbenchmark: deformable-attention op at the flagship ViT-L@588 shapes.
+"""Standalone MSDA kernel micro-benchmark at flagship geometries (ViT-L@588).
 
-Times fwd and fwd+bwd per call for both adapter directions:
-  CAViT: 1764 ViT-token queries over the 3-level CNN pyramid (73/36/18)
-  CACNN: 6949 CNN-token queries over the single-level ViT grid (42x42)
+CAViT: queries = 1764 ViT tokens, values = 3-level CNN pyramid (84,84/42,42/21,21)
+CACNN: queries = 9261 CNN tokens,  values = single-level ViT (42,42)
 
-Usage: python tools/bench_msda.py [--impl matmul|gather] [--batch 12] [--dtype bf16]
-TPU timing gotcha: block_until_ready returns early over the tunnel — measure
-with a host transfer per step (CLAUDE.md).
+Times fwd and fwd+bwd per call (bs16, 8 heads, D=64, bf16) for the pallas
+split-bwd and merged-bwd paths.  TPU timing per CLAUDE.md: host transfer per
+measurement, ~30 ms RPC subtracted implicitly by per-call division over REPS.
 """
-import argparse
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import adaptersis_tpu.ops.msda_pallas as mp  # noqa: E402
+
+B, M, D, P = 16, 8, 64, 4
+REPS = 10
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--impl", default="matmul", choices=["matmul", "gather"])
-    ap.add_argument("--batch", type=int, default=12)
-    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--platform", default=None)
-    args = ap.parse_args()
+def timeit(fn, *args):
+    out = fn(*args)            # compile
+    jax.tree_util.tree_map(lambda t: t.block_until_ready(), out)
+    # host transfer to defeat the tunnel's early block_until_ready return
+    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = fn(*args)
+    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
+    dt = (time.perf_counter() - t0) / REPS
+    return dt * 1e3  # ms
 
-    import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    import jax.numpy as jnp
-    import numpy as np
 
-    from adaptersis_tpu.ops.ms_deform_attn import ms_deform_attn_core
-    from adaptersis_tpu.ops.msda_matmul import msda_matmul
+def bench(name, shapes, Lq, query_shapes):
+    """query_shapes: raster grids the queries live on (reference points are the
+    query's own normalized raster position — the locality the kernel exploits,
+    exactly like models/adapters.get_reference_points)."""
+    from adaptersis_tpu.models.adapters import get_reference_points
 
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    B, M, D, P = args.batch, 8, 128, 4
-    cases = {
-        "cavit": (1764, [(73, 73), (36, 36), (18, 18)]),
-        "cacnn": (6949, [(42, 42)]),
-    }
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
     rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((B, S, M, D)), jnp.bfloat16)
+    ref = np.asarray(get_reference_points(query_shapes))  # (1, Lq, 1 or L, 2)
+    assert ref.shape[1] == Lq, (ref.shape, Lq)
+    base = ref[:, :, None, :, None, :]  # (1, Lq, 1, L?, 1, 2)
+    if base.shape[3] != L:
+        base = np.broadcast_to(base, (1, Lq, 1, L, 1, 2))
+    hw = np.array([(1.0 / w, 1.0 / h) for h, w in shapes])  # (L, 2) xy scale
+    loc = jnp.asarray(
+        base + rng.uniform(-2, 2, (B, Lq, M, L, P, 2)) * hw[None, None, None, :, None, :],
+        jnp.float32)
+    aw = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, L, P)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, Lq, M * D)), jnp.bfloat16)
 
-    for name, (Lq, shapes) in cases.items():
-        L = len(shapes)
-        S = sum(h * w for h, w in shapes)
-        v = jnp.asarray(rng.standard_normal((B, S, M, D)), dtype)
-        loc = jnp.asarray(rng.uniform(-0.05, 1.05, (B, Lq, M, L, P, 2)), jnp.float32)
-        aw = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, L, P)), jnp.float32)
-
-        if args.impl == "matmul":
-            op = lambda v_, l_, w_: msda_matmul(v_, l_, w_, tuple(map(tuple, shapes)))
-        else:
-            op = lambda v_, l_, w_: ms_deform_attn_core(v_, shapes, l_, w_, force_fp32=False)
-
-        fwd = jax.jit(op)
-        loss = jax.jit(jax.grad(
-            lambda v_, l_, w_: op(v_, l_, w_).astype(jnp.float32).sum(),
-            argnums=(0, 1, 2)))
-
-        def timeit(fn, *a):
-            o = fn(*a)
-            first = jax.tree.leaves(o)[0]
-            float(first.sum())  # force + sync through the tunnel
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                o = fn(*a)
-            float(jax.tree.leaves(o)[0].sum())
-            return (time.perf_counter() - t0) / args.steps * 1e3
-
-        t_f = timeit(fwd, v, loc, aw)
-        t_fb = timeit(loss, v, loc, aw)
-        print(f"{name}: impl={args.impl} bs={B} {args.dtype}  "
-              f"fwd {t_f:.1f} ms   fwd+bwd {t_fb:.1f} ms")
+    fwd = jax.jit(lambda v_, l_, w_: mp.msda_pallas(v_, l_, w_, tuple(shapes)))
+    g = jax.jit(jax.grad(
+        lambda v_, l_, w_: (mp.msda_pallas(v_, l_, w_, tuple(shapes))
+                            * t).sum(), argnums=(0, 1, 2)))
+    f_ms = timeit(fwd, v, loc, aw)
+    fb_ms = timeit(g, v, loc, aw)
+    print(f"{name:8s} fwd {f_ms:7.2f} ms   fwd+bwd {fb_ms:7.2f} ms")
+    return f_ms, fb_ms
 
 
 if __name__ == "__main__":
-    main()
+    print(f"devices: {jax.devices()}")
+    cnn_shapes = [(84, 84), (42, 42), (21, 21)]
+    for merged in (False, True):
+        mp.use_merged_bwd(merged)
+        print(f"--- merged_bwd={merged} ---")
+        try:
+            bench("CAViT", tuple(cnn_shapes), 1764, [(42, 42)])
+            bench("CACNN", ((42, 42),), 9261, cnn_shapes)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL: {type(e).__name__}: {str(e)[:300]}")
+    mp.use_merged_bwd(False)
