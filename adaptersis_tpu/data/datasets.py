@@ -30,9 +30,11 @@ class SegDataset:
     """Minimal indexable dataset protocol: __len__, __getitem__ → (img, mask, idx).
 
     When the native C++ runtime (runtime/image_io.cc) is built, decode + resize
-    run there (PIL-exact for gray/nearest, ±1 level for bilinear); otherwise the
-    PIL path reproduces the reference exactly (tools/dataset.py:139-150).
-    `use_native` requires single-channel label masks (what our converters emit).
+    run there, BIT-EXACT vs PIL for both bilinear images and nearest masks
+    (golden-tested in tests/test_native_loader.py); otherwise the PIL path
+    reproduces the reference exactly (tools/dataset.py:139-150). The native
+    path refuses lossy-for-labels mask formats (16-bit gray, true-RGB) and
+    falls back to PIL for those files.
     """
 
     img_files: List[str]

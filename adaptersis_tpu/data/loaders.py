@@ -12,7 +12,7 @@ import enum
 from typing import Any, Optional
 
 from .datasets import DATASETS, SegDataset
-from .imagenet import ImageFolderDataset
+from .imagenet import ImageFolderDataset, ImageNet, ImageNetSplit
 from .loader import DataLoader
 from .samplers import EpochSampler, InfiniteSampler, ShardedInfiniteSampler
 
@@ -42,6 +42,12 @@ def make_dataset(dataset_str: str, imsize: Optional[int] = None, **extra):
     split = kw.pop("split", "TRAIN")
     root = kw.pop("root", kw.pop("path", ""))
     lname = name.lower()
+    if lname == "imagenet" and (kw.get("extra") or extra.get("extra")):
+        # reference prepared layout (dinov2/data/loaders.py:44-64 spec syntax
+        # "ImageNet:split=TRAIN:root=…:extra=…")
+        return ImageNet(split=ImageNetSplit[split.upper()], root=root,
+                        extra=kw.get("extra") or extra.get("extra"),
+                        imsize=imsize)
     if lname in ("imagenet", "imagenet22k", "imagefolder"):
         return ImageFolderDataset(root, split=split.lower(), imsize=imsize)
     if lname in DATASETS:

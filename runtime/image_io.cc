@@ -36,7 +36,13 @@ struct Image {
 };
 
 // ---------- PNG ----------
-bool decode_png(FILE* f, Image* out) {
+// want_gray: the caller is loading a LABEL MASK and PIL-parity means the RAW
+// stored values (palette indices stay indices, like `Image.open` with no
+// convert — tools/dataset.py:144 opens masks raw). Anything whose raw values
+// can't be represented losslessly in uint8 (16-bit gray, true-RGB) is REFUSED
+// so the Python caller falls back to PIL instead of silently training on
+// transformed label ids.
+bool decode_png(FILE* f, Image* out, bool want_gray) {
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) return false;
   png_infop info = png_create_info_struct(png);
@@ -47,11 +53,18 @@ bool decode_png(FILE* f, Image* out) {
   png_uint_32 w, h;
   int bit_depth, color_type;
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr, nullptr);
-  if (bit_depth == 16) png_set_strip_16(png);
-  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
-  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  if (want_gray) {
+    bool ok = (color_type == PNG_COLOR_TYPE_PALETTE && bit_depth <= 8) ||
+              (color_type == PNG_COLOR_TYPE_GRAY && bit_depth <= 8);
+    if (!ok) { png_destroy_read_struct(&png, &info, nullptr); return false; }
+    if (bit_depth < 8) png_set_packing(png);  // raw indices/levels, one byte each
+  } else {
+    if (bit_depth == 16) png_set_strip_16(png);
+    if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  }
   png_read_update_info(png, info);
   int channels = png_get_channels(png, info);
   out->w = (int)w; out->h = (int)h; out->c = channels;
@@ -73,7 +86,7 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(e->jb, 1);
 }
 
-bool decode_jpeg(FILE* f, Image* out) {
+bool decode_jpeg(FILE* f, Image* out, bool want_gray) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -82,7 +95,17 @@ bool decode_jpeg(FILE* f, Image* out) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  if (want_gray) {
+    // masks: only a natively-grayscale JPEG matches PIL's raw read; color→gray
+    // conversion would alter label values → refuse, caller falls back
+    if (cinfo.jpeg_color_space != JCS_GRAYSCALE) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    cinfo.out_color_space = JCS_GRAYSCALE;
+  } else {
+    cinfo.out_color_space = JCS_RGB;
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -97,24 +120,31 @@ bool decode_jpeg(FILE* f, Image* out) {
   return true;
 }
 
-bool decode_file(const char* path, Image* out) {
+bool decode_file(const char* path, Image* out, bool want_gray) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   uint8_t magic[4] = {0};
   if (fread(magic, 1, 4, f) != 4) { fclose(f); return false; }
   rewind(f);
   bool ok = false;
-  if (magic[0] == 0x89 && magic[1] == 'P') ok = decode_png(f, out);
-  else if (magic[0] == 0xFF && magic[1] == 0xD8) ok = decode_jpeg(f, out);
+  if (magic[0] == 0x89 && magic[1] == 'P') ok = decode_png(f, out, want_gray);
+  else if (magic[0] == 0xFF && magic[1] == 0xD8) ok = decode_jpeg(f, out, want_gray);
   fclose(f);
   return ok;
 }
 
-// ---------- PIL-style triangle-filter resize (separable) ----------
+// ---------- PIL-exact triangle-filter resize (separable, fixed point) ----------
+// Bit-exact reproduction of Pillow's ImagingResample 8bpc pipeline
+// (src/libImaging/Resample.c): per-output-pixel bounds use the same +0.5
+// truncation, coefficients are rounded to int32 with PRECISION_BITS = 22, and
+// the horizontal pass quantizes to uint8 before the vertical pass — the
+// intermediate rounding IS PIL's observable numerics.
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
 struct FilterTable {
   int ksize = 0;
-  std::vector<int> bounds;      // per output pixel: start index
-  std::vector<double> kk;       // per output pixel: ksize weights
+  std::vector<int> bounds;      // per output pixel: (xmin, n)
+  std::vector<int32_t> kk;      // per output pixel: ksize fixed-point weights
 };
 
 FilterTable build_triangle(int in_size, int out_size) {
@@ -122,60 +152,73 @@ FilterTable build_triangle(int in_size, int out_size) {
   double scale = (double)in_size / out_size;
   double filterscale = std::max(scale, 1.0);
   double support = 1.0 * filterscale;  // triangle support = 1
+  double ss = 1.0 / filterscale;
   t.ksize = (int)std::ceil(support) * 2 + 1;
-  t.bounds.resize(out_size);
-  t.kk.assign((size_t)out_size * t.ksize, 0.0);
+  t.bounds.resize((size_t)out_size * 2);
+  std::vector<double> k(t.ksize);
+  t.kk.assign((size_t)out_size * t.ksize, 0);
   for (int xx = 0; xx < out_size; xx++) {
     double center = (xx + 0.5) * scale;
-    double ww = 0.0;
-    int xmin = (int)std::max(0.0, std::floor(center - support));
-    int xmax = (int)std::min((double)in_size, std::ceil(center + support));
+    int xmin = (int)(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
     int n = xmax - xmin;
-    double* k = &t.kk[(size_t)xx * t.ksize];
+    double ww = 0.0;
     for (int x = 0; x < n; x++) {
-      double arg = (x + xmin - center + 0.5) / filterscale;
+      double arg = (x + xmin - center + 0.5) * ss;
       double w = arg < 0 ? 1.0 + arg : 1.0 - arg;   // triangle
       if (w < 0) w = 0;
-      k[x] = w;
-      ww += w;
+      k[x] = w * ss;
+      ww += k[x];
     }
-    if (ww != 0)
-      for (int x = 0; x < n; x++) k[x] /= ww;
-    t.bounds[xx] = xmin;
+    for (int x = 0; x < n; x++) {
+      if (ww != 0.0) k[x] /= ww;
+      // Pillow normalize_coeffs_8bpc rounding
+      t.kk[(size_t)xx * t.ksize + x] = (int32_t)(
+          k[x] < 0 ? -0.5 + k[x] * (1 << kPrecisionBits)
+                   : 0.5 + k[x] * (1 << kPrecisionBits));
+    }
+    t.bounds[xx * 2] = xmin;
+    t.bounds[xx * 2 + 1] = n;
   }
   return t;
+}
+
+inline uint8_t clip8(int64_t in) {
+  int64_t v = in >> kPrecisionBits;
+  return (uint8_t)std::clamp<int64_t>(v, 0, 255);
 }
 
 void resize_bilinear_pil(const Image& src, int out_h, int out_w, uint8_t* dst) {
   FilterTable th = build_triangle(src.w, out_w);
   FilterTable tv = build_triangle(src.h, out_h);
   int c = src.c;
-  // horizontal pass into temp (src.h x out_w)
-  std::vector<float> tmp((size_t)src.h * out_w * c);
+  // horizontal pass into a uint8 temp (src.h x out_w) — PIL quantizes here
+  std::vector<uint8_t> tmp((size_t)src.h * out_w * c);
   for (int y = 0; y < src.h; y++) {
     const uint8_t* row = src.data.data() + (size_t)y * src.w * c;
     for (int x = 0; x < out_w; x++) {
-      const double* k = &th.kk[(size_t)x * th.ksize];
-      int x0 = th.bounds[x];
-      int n = std::min(th.ksize, src.w - x0);
+      const int32_t* k = &th.kk[(size_t)x * th.ksize];
+      int x0 = th.bounds[x * 2], n = th.bounds[x * 2 + 1];
       for (int ch = 0; ch < c; ch++) {
-        double acc = 0;
-        for (int i = 0; i < n; i++) acc += row[(size_t)(x0 + i) * c + ch] * k[i];
-        tmp[((size_t)y * out_w + x) * c + ch] = (float)acc;
+        int64_t acc = (int64_t)1 << (kPrecisionBits - 1);
+        for (int i = 0; i < n; i++)
+          acc += (int64_t)row[(size_t)(x0 + i) * c + ch] * k[i];
+        tmp[((size_t)y * out_w + x) * c + ch] = clip8(acc);
       }
     }
   }
   // vertical pass
   for (int y = 0; y < out_h; y++) {
-    const double* k = &tv.kk[(size_t)y * tv.ksize];
-    int y0 = tv.bounds[y];
-    int n = std::min(tv.ksize, src.h - y0);
+    const int32_t* k = &tv.kk[(size_t)y * tv.ksize];
+    int y0 = tv.bounds[y * 2], n = tv.bounds[y * 2 + 1];
     for (int x = 0; x < out_w; x++) {
       for (int ch = 0; ch < c; ch++) {
-        double acc = 0;
-        for (int i = 0; i < n; i++) acc += tmp[((size_t)(y0 + i) * out_w + x) * c + ch] * k[i];
-        int v = (int)std::lround(acc);
-        dst[((size_t)y * out_w + x) * c + ch] = (uint8_t)std::clamp(v, 0, 255);
+        int64_t acc = (int64_t)1 << (kPrecisionBits - 1);
+        for (int i = 0; i < n; i++)
+          acc += (int64_t)tmp[((size_t)(y0 + i) * out_w + x) * c + ch] * k[i];
+        dst[((size_t)y * out_w + x) * c + ch] = clip8(acc);
       }
     }
   }
@@ -206,19 +249,6 @@ void to_rgb(Image* img) {
   *img = std::move(out);
 }
 
-void to_gray(Image* img) {
-  if (img->c == 1) return;
-  Image out;
-  out.w = img->w; out.h = img->h; out.c = 1;
-  out.data.resize((size_t)out.w * out.h);
-  for (size_t i = 0; i < (size_t)img->w * img->h; i++) {
-    const uint8_t* p = &img->data[i * img->c];
-    // PIL "L" fixed-point: (19595 R + 38470 G + 7471 B + 0x8000) >> 16
-    out.data[i] = (uint8_t)((19595u * p[0] + 38470u * p[1] + 7471u * p[2] + 0x8000u) >> 16);
-  }
-  *img = std::move(out);
-}
-
 }  // namespace
 
 extern "C" {
@@ -228,8 +258,9 @@ extern "C" {
 int asn_decode_resize(const char* path, int out_h, int out_w, int channels,
                       int resample, uint8_t* out) {
   Image img;
-  if (!decode_file(path, &img)) return 1;
-  if (channels == 3) to_rgb(&img); else to_gray(&img);
+  if (!decode_file(path, &img, channels == 1)) return 1;
+  if (channels == 3) to_rgb(&img);
+  else if (img.c != 1) return 1;  // masks must arrive single-channel raw
   if (out_h == img.h && out_w == img.w) {
     memcpy(out, img.data.data(), img.data.size());
     return 0;
