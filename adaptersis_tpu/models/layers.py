@@ -190,14 +190,26 @@ class Attention(nn.Module):
       * "flash"  — Pallas TPU flash-attention kernel; at the flagship 1765-token
         sequence the einsum path is HBM-bound on the (B,H,N,N) score matrix
         (~3 GB/block @ bs8), which flash eliminates.
+
+    windowed=True reproduces the m2f backbone's WindowedAttention
+    (segmentation_m2f/models/backbones/vit.py:224-278): non-overlapping
+    window_size² windows over the (padded) token grid, the zero-padded
+    positions PARTICIPATING in the softmax with score 0 — the reference pads
+    the qkv maps after the projection, so padding semantics match exactly.
+    Requires `hw`; a leading cls token (N == h·w + 1) rides through the
+    attention unchanged (windowed blocks never mix cls — the reference's
+    windowed path carries no cls at all).
     """
 
     num_heads: int
     attn_impl: str = "einsum"
+    windowed: bool = False
+    window_size: int = 14
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, return_attn: bool = False):
+    def __call__(self, x: jax.Array, return_attn: bool = False,
+                 hw: Optional[Tuple[int, int]] = None):
         B, N, C = x.shape
         H = self.num_heads
         Dh = C // H
@@ -212,7 +224,16 @@ class Attention(nn.Module):
             out = out.reshape(B, N, C)
             out = nn.Dense(C, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
             return out, attn
-        if self.attn_impl == "flash":
+        if self.windowed:
+            if hw is None:
+                raise ValueError("windowed attention needs the token grid `hw`")
+            n_cls = N - hw[0] * hw[1]
+            if n_cls not in (0, 1):
+                raise ValueError(f"token count {N} does not match grid {hw}")
+            qp, kp, vp = (t[:, n_cls:] for t in (q, k, v))
+            outp = windowed_sdpa(qp, kp, vp, scale, hw, self.window_size, self.dtype)
+            out = jnp.concatenate([v[:, :n_cls], outp], axis=1) if n_cls else outp
+        elif self.attn_impl == "flash":
             out = _sdpa_flash(q, k, v, scale)
         else:
             out = _sdpa_einsum(q, k, v, scale, self.dtype)
@@ -230,11 +251,14 @@ class Block(nn.Module):
     ffn_layer: str = "mlp"
     drop_path_rate: float = 0.0
     attn_impl: str = "einsum"
+    windowed: bool = False       # m2f windowed-ViT block (backbones/vit.py:324-384)
+    window_size: int = 14
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
-                 return_attention: bool = False):
+                 return_attention: bool = False,
+                 hw: Optional[Tuple[int, int]] = None):
         def ls(name: str, y: jax.Array) -> jax.Array:
             if self.init_values is None:
                 return y
@@ -246,7 +270,8 @@ class Block(nn.Module):
             _, attn = Attention(self.num_heads, dtype=self.dtype, name="attn")(h, return_attn=True)
             return attn
         h = Attention(self.num_heads, attn_impl=self.attn_impl,
-                      dtype=self.dtype, name="attn")(h)
+                      windowed=self.windowed, window_size=self.window_size,
+                      dtype=self.dtype, name="attn")(h, hw=hw)
         x = x + ls("ls1", h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         if self.ffn_layer == "swiglufused":

@@ -46,6 +46,10 @@ class DinoVisionTransformer(nn.Module):
     # "einsum" | "flash" (tuned Pallas flash kernel — faster & O(N) memory at
     # the flagship 1765-token sequence; see layers._sdpa_flash)
     attn_impl: str = "einsum"
+    # per-block windowed-attention flags — the m2f windowed-ViT backbone
+    # (segmentation_m2f/models/backbones/vit.py:440-455: scalar or list)
+    window_attn: Optional[Sequence[bool]] = None
+    window_size: int = 14
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -60,6 +64,7 @@ class DinoVisionTransformer(nn.Module):
             self.register_tokens = self.param(
                 "register_tokens", nn.initializers.zeros, (1, self.num_register_tokens, self.embed_dim), jnp.float32
             )
+        wa = self.window_attn or [False] * self.depth
         self.blocks = [
             Block(
                 self.embed_dim,
@@ -68,6 +73,8 @@ class DinoVisionTransformer(nn.Module):
                 self.init_values,
                 self.ffn_layer,
                 attn_impl=self.attn_impl,
+                windowed=bool(wa[i]),
+                window_size=self.window_size,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )
@@ -115,24 +122,27 @@ class DinoVisionTransformer(nn.Module):
             tokens = jnp.concatenate([tokens[:, :1], reg, tokens[:, 1:]], axis=1)
         return tokens, (hp, wp)
 
-    def run_blocks(self, x: jax.Array, start: int, stop: int, remat: bool = False) -> jax.Array:
-        """Apply blocks[start:stop]. Python-level loop — XLA sees a flat program."""
+    def run_blocks(self, x: jax.Array, start: int, stop: int, remat: bool = False,
+                   hw: Optional[Tuple[int, int]] = None) -> jax.Array:
+        """Apply blocks[start:stop]. Python-level loop — XLA sees a flat program.
+        `hw` is the patch-token grid, needed by windowed blocks."""
         for blk in self.blocks[start:stop]:
             if remat:
-                x = nn.remat(lambda m, y: m(y))(blk, x)
+                x = nn.remat(lambda m, y: m(y, hw=hw))(blk, x)
             else:
-                x = blk(x)
+                x = blk(x, hw=hw)
         return x
 
-    def collect_block_outputs(self, x: jax.Array, taps: Sequence[int], remat_untapped: bool = False) -> List[jax.Array]:
+    def collect_block_outputs(self, x: jax.Array, taps: Sequence[int], remat_untapped: bool = False,
+                              hw: Optional[Tuple[int, int]] = None) -> List[jax.Array]:
         """Run all blocks, returning the (un-normed) outputs of block indices `taps`."""
         out = []
         want = set(taps)
         for i, blk in enumerate(self.blocks):
             if remat_untapped and i not in want:
-                x = nn.remat(lambda m, y: m(y))(blk, x)
+                x = nn.remat(lambda m, y: m(y, hw=hw))(blk, x)
             else:
-                x = blk(x)
+                x = blk(x, hw=hw)
             if i in want:
                 out.append(x)
         return out
@@ -143,8 +153,8 @@ class DinoVisionTransformer(nn.Module):
     def get_last_selfattention(self, x: jax.Array) -> jax.Array:
         """Attention probabilities of the last block, (B, heads, N, N) — the DINO
         attention-visualization hook (root vision_transformer.py:80-92,225-232)."""
-        tokens, _ = self.embed(x, with_pos_cls=True)
-        tokens = self.run_blocks(tokens, 0, self.depth - 1)
+        tokens, hw = self.embed(x, with_pos_cls=True)
+        tokens = self.run_blocks(tokens, 0, self.depth - 1, hw=hw)
         return self.blocks[-1](tokens, return_attention=True)
 
     # ---- public forward APIs ----
@@ -155,8 +165,8 @@ class DinoVisionTransformer(nn.Module):
         return self.forward_with_masks(x, masks=None)
 
     def forward_with_masks(self, x: jax.Array, masks: Optional[jax.Array] = None) -> dict:
-        tokens, _ = self.embed(x, with_pos_cls=True, masks=masks)
-        tokens = self.run_blocks(tokens, 0, self.depth)
+        tokens, hw = self.embed(x, with_pos_cls=True, masks=masks)
+        tokens = self.run_blocks(tokens, 0, self.depth, hw=hw)
         normed = self.final_norm(tokens)
         r = self.num_register_tokens
         return {
@@ -178,7 +188,7 @@ class DinoVisionTransformer(nn.Module):
         (dinov2/models/vision_transformer.py:263-287)."""
         tokens, (hp, wp) = self.embed(x, with_pos_cls=True)
         taps = list(range(self.depth - n, self.depth))
-        outs = self.collect_block_outputs(tokens, taps)
+        outs = self.collect_block_outputs(tokens, taps, hw=(hp, wp))
         if norm:
             outs = [self.final_norm(o) for o in outs]
         r = self.num_register_tokens
@@ -210,6 +220,19 @@ def vit_giant2(**kw) -> DinoVisionTransformer:
     return DinoVisionTransformer(embed_dim=1536, depth=40, num_heads=24, ffn_layer="swiglufused", **kw)
 
 
+def _quarter_global_windows(depth: int) -> tuple:
+    """ViT-Adapter-style schedule: windowed attention everywhere except the
+    last block of each quarter (the interaction-stage boundaries), which stays
+    global — the pattern the m2f windowed backbone is configured with
+    (segmentation_m2f/models/backbones/vit.py:453: per-block window_attn list)."""
+    q = depth // 4
+    return tuple((i + 1) % q != 0 for i in range(depth))
+
+
+def _windowed(factory, depth):
+    return lambda **kw: factory(window_attn=_quarter_global_windows(depth), **kw)
+
+
 ARCHS = {
     "vit_small": vit_small,
     "vit_base": vit_base,
@@ -217,6 +240,11 @@ ARCHS = {
     "vit_giant2": vit_giant2,
     # DINO-v1 aliases accepted by the reference CLI (--arch vit_small/vit_base)
     "vit_tiny": partial(DinoVisionTransformer, embed_dim=192, depth=12, num_heads=3),
+    # m2f windowed backbones (windowed attention, global at quarter boundaries)
+    "vit_small_windowed": _windowed(vit_small, 12),
+    "vit_base_windowed": _windowed(vit_base, 12),
+    "vit_large_windowed": _windowed(vit_large, 24),
+    "vit_giant2_windowed": _windowed(vit_giant2, 40),
 }
 
 

@@ -86,7 +86,7 @@ class ViTAdapter(nn.Module):
                               name=f"interactions_{i}_extractor")
             xt = injector(xt, ref1, c, shapes1)
             blk_in = jnp.concatenate([cls, xt], axis=1)
-            blk_out = sg(self.backbone.run_blocks(blk_in, lo, hi + 1))
+            blk_out = sg(self.backbone.run_blocks(blk_in, lo, hi + 1, hw=(hp, wp)))
             cls, xt = blk_out[:, :1], blk_out[:, 1:]
             c = extractor(c, ref2, xt, shapes2, query_level_shapes=shapes1)
             if i == len(idxs) - 1 and self.use_extra_extractor:

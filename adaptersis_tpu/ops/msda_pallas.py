@@ -425,21 +425,27 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
                         a, S3 = carry
                         S3 = list(S3)
                         hrow, wcol = _slice_maps(maps, lvl, g)
-                        tiles = []
-                        for p in range(P):
-                            tx, ty, dtx, dty = _factors_t(
-                                hrow, wcol, x0, fx, y0, fy, p, True, a_dtype)
-                            tiles += [ty * tx, ty * dtx, dty * tx]
-                            a = a + aw[:, p:p + 1].astype(a_dtype) * tiles[3 * p]
-                        abc = jnp.concatenate(tiles, axis=0)
-                        s = jnp.dot(abc, vblk,
-                                    preferred_element_type=jnp.float32)
-                        TQl = abc.shape[0] // (3 * P)
-                        for p in range(P):
-                            for j in range(3):
-                                r = (p * 3 + j) * TQl
-                                S3[j * P + p] = S3[j * P + p] + jnp.sum(
-                                    gq * s[r:r + TQl], axis=1, keepdims=True)
+                        # stack HALF the points per dot: the full 3·P-tile
+                        # stack puts the merged kernel ~1.2 MB over the 16 MB
+                        # scoped-VMEM ceiling at flagship shapes
+                        half = max(1, P // 2)
+                        for p0 in range(0, P, half):
+                            tiles = []
+                            for p in range(p0, min(p0 + half, P)):
+                                tx, ty, dtx, dty = _factors_t(
+                                    hrow, wcol, x0, fx, y0, fy, p, True, a_dtype)
+                                tiles += [ty * tx, ty * dtx, dty * tx]
+                                a = a + (aw[:, p:p + 1].astype(a_dtype)
+                                         * tiles[3 * (p - p0)])
+                            abc = jnp.concatenate(tiles, axis=0)
+                            s = jnp.dot(abc, vblk,
+                                        preferred_element_type=jnp.float32)
+                            TQl = abc.shape[0] // len(tiles)
+                            for p in range(p0, min(p0 + half, P)):
+                                for j in range(3):
+                                    r = ((p - p0) * 3 + j) * TQl
+                                    S3[j * P + p] = S3[j * P + p] + jnp.sum(
+                                        gq * s[r:r + TQl], axis=1, keepdims=True)
                         return a, tuple(S3)
 
                     base = lvl * 3 * P

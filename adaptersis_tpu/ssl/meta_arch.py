@@ -32,7 +32,7 @@ import numpy as np
 import optax
 
 from ..models.vit import DinoVisionTransformer
-from ..parallel.mesh import get_mesh, replicate_tree
+from ..parallel.mesh import fsdp_shard_params, get_mesh, replicate_tree
 from .heads import DINOHead
 from .losses import (dino_loss, ibot_patch_loss, koleo_loss,
                      softmax_center_teacher, update_center)
@@ -88,15 +88,23 @@ class SSLMetaArch:
                 ki, jnp.zeros((1, self.backbone.embed_dim)))["params"]
         teacher = jax.tree_util.tree_map(jnp.array, student)
         opt_state = self.tx.init(student)
+        # FSDP (reference dinov2/fsdp/__init__.py:22-54 FULL_SHARD per
+        # submodule): student, teacher AND the Adam moments shard over the
+        # mesh's fsdp axis; XLA inserts the all-gathers before each layer use
+        # and reduce-scatters for the grads. Centers/step stay replicated.
+        # With fsdp=1 (the mesh default) fsdp_shard_params replicates — the
+        # pure-DP path is unchanged.
         state = {
-            "student": student,
-            "teacher": teacher,
-            "opt_state": opt_state,
-            "dino_center": jnp.zeros((1, self.cfg.dino_out_dim)),
-            "ibot_center": jnp.zeros((1, 1, self.cfg.ibot_out_dim)),
-            "step": jnp.zeros((), jnp.int32),
+            "student": fsdp_shard_params(student, self.mesh),
+            "teacher": fsdp_shard_params(teacher, self.mesh),
+            "opt_state": fsdp_shard_params(opt_state, self.mesh),
+            **replicate_tree({
+                "dino_center": jnp.zeros((1, self.cfg.dino_out_dim)),
+                "ibot_center": jnp.zeros((1, 1, self.cfg.ibot_out_dim)),
+                "step": jnp.zeros((), jnp.int32),
+            }, self.mesh),
         }
-        return replicate_tree(state, self.mesh)
+        return state
 
     @property
     def tx(self) -> optax.GradientTransformation:

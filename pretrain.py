@@ -41,6 +41,10 @@ def get_args_parser():
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--platform", default=None, type=str)
+    p.add_argument("--fsdp", default=1, type=int,
+                   help="fsdp mesh-axis size: shard student/teacher/optimizer "
+                        "params over this many devices (reference FULL_SHARD, "
+                        "dinov2/fsdp/__init__.py:22-54); 1 = pure data parallel")
     p.add_argument("--official_epoch_length", default=1250, type=int,
                    help="iterations per 'epoch' — schedules and checkpoints are "
                         "iteration-keyed (dinov2/configs/ssl_default_config.yaml:68, "
@@ -91,7 +95,8 @@ def main(args):
                     n_local_crops=args.local_crops_number, lr=args.lr,
                     weight_decay=args.weight_decay,
                     koleo_loss_weight=args.koleo_loss_weight)
-    arch = SSLMetaArch(backbone, cfg)
+    from adaptersis_tpu.parallel.mesh import get_mesh
+    arch = SSLMetaArch(backbone, cfg, mesh=get_mesh(fsdp=args.fsdp))
 
     ds = SyntheticSeg(n=max(global_batch * 4, 64),
                       imsize=args.global_crops_size + 32, seed=args.seed)
