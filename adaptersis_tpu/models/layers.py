@@ -127,11 +127,16 @@ def _flash_block(np_len: int) -> int:
     return 128
 
 
-def _sdpa_flash(q, k, v, scale):
+def _sdpa_flash(q, k, v, scale, segment_ids=None):
     """Pallas TPU flash attention (jax.experimental.pallas.ops.tpu.flash_attention)
     — replaces the reference's xformers memory_efficient_attention
     (dinov2/layers/attention.py:72-89). Sequence padded to a 128 multiple; padded
-    keys are masked out via segment ids so real-token rows are exact."""
+    keys are masked out via segment ids so real-token rows are exact.
+
+    `segment_ids` (B, N) int ≥0: tokens attend only within their own segment —
+    the BlockDiagonalMask equivalent used for mixed-resolution crop packing
+    (reference dinov2/layers/block.py:161-260). Padded positions get id −1,
+    matching nothing real."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)
 
@@ -143,8 +148,12 @@ def _sdpa_flash(q, k, v, scale):
         t = jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
         return t.transpose(0, 2, 1, 3)
 
-    ids = (jnp.arange(Np) < N).astype(jnp.int32)[None, :]
-    ids = jnp.broadcast_to(ids, (B, Np))
+    if segment_ids is None:
+        ids = (jnp.arange(Np) < N).astype(jnp.int32)[None, :]
+        ids = jnp.broadcast_to(ids, (B, Np))
+    else:
+        ids = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pad)),
+                      constant_values=-1)
     blk = _flash_block(Np)
     out = flash_attention(
         to_bhnd(q), to_bhnd(k), to_bhnd(v),
@@ -154,6 +163,15 @@ def _sdpa_flash(q, k, v, scale):
                                block_b=1),
     )
     return out.transpose(0, 2, 1, 3)[:, :N]
+
+
+def _sdpa_einsum_segmented(q, k, v, scale, segment_ids, dtype):
+    """Segment-masked SDPA: additive −inf outside the block-diagonal."""
+    attn = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(dtype), k.astype(dtype))
+    mask = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+    attn = jnp.where(mask, attn.astype(jnp.float32), -jnp.inf)
+    attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(dtype))
 
 
 def windowed_sdpa(q, k, v, scale, hw: Tuple[int, int], window: int, dtype):
@@ -209,7 +227,8 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, return_attn: bool = False,
-                 hw: Optional[Tuple[int, int]] = None):
+                 hw: Optional[Tuple[int, int]] = None,
+                 segment_ids: Optional[jax.Array] = None):
         B, N, C = x.shape
         H = self.num_heads
         Dh = C // H
@@ -233,8 +252,10 @@ class Attention(nn.Module):
             qp, kp, vp = (t[:, n_cls:] for t in (q, k, v))
             outp = windowed_sdpa(qp, kp, vp, scale, hw, self.window_size, self.dtype)
             out = jnp.concatenate([v[:, :n_cls], outp], axis=1) if n_cls else outp
+        elif segment_ids is not None and self.attn_impl != "flash":
+            out = _sdpa_einsum_segmented(q, k, v, scale, segment_ids, self.dtype)
         elif self.attn_impl == "flash":
-            out = _sdpa_flash(q, k, v, scale)
+            out = _sdpa_flash(q, k, v, scale, segment_ids=segment_ids)
         else:
             out = _sdpa_einsum(q, k, v, scale, self.dtype)
         out = out.reshape(B, N, C)
@@ -258,7 +279,8 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
                  return_attention: bool = False,
-                 hw: Optional[Tuple[int, int]] = None):
+                 hw: Optional[Tuple[int, int]] = None,
+                 segment_ids: Optional[jax.Array] = None):
         def ls(name: str, y: jax.Array) -> jax.Array:
             if self.init_values is None:
                 return y
@@ -271,7 +293,8 @@ class Block(nn.Module):
             return attn
         h = Attention(self.num_heads, attn_impl=self.attn_impl,
                       windowed=self.windowed, window_size=self.window_size,
-                      dtype=self.dtype, name="attn")(h, hw=hw)
+                      dtype=self.dtype, name="attn")(h, hw=hw,
+                                                     segment_ids=segment_ids)
         x = x + ls("ls1", h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         if self.ffn_layer == "swiglufused":

@@ -25,6 +25,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..ops.resize import resize_bicubic
@@ -123,15 +124,47 @@ class DinoVisionTransformer(nn.Module):
         return tokens, (hp, wp)
 
     def run_blocks(self, x: jax.Array, start: int, stop: int, remat: bool = False,
-                   hw: Optional[Tuple[int, int]] = None) -> jax.Array:
+                   hw: Optional[Tuple[int, int]] = None,
+                   segment_ids: Optional[jax.Array] = None) -> jax.Array:
         """Apply blocks[start:stop]. Python-level loop — XLA sees a flat program.
-        `hw` is the patch-token grid, needed by windowed blocks."""
+        `hw` is the patch-token grid, needed by windowed blocks; `segment_ids`
+        restricts attention to the block-diagonal (packed crops)."""
         for blk in self.blocks[start:stop]:
             if remat:
-                x = nn.remat(lambda m, y: m(y, hw=hw))(blk, x)
+                x = nn.remat(lambda m, y: m(y, hw=hw, segment_ids=segment_ids))(blk, x)
             else:
-                x = blk(x, hw=hw)
+                x = blk(x, hw=hw, segment_ids=segment_ids)
         return x
+
+    def forward_packed_crops(self, g: jax.Array, l: jax.Array,
+                             masks: Optional[jax.Array] = None) -> Tuple[dict, dict]:
+        """Mixed-resolution crop packing: ALL crops ride ONE attention call per
+        block via segment ids — the TPU equivalent of the reference's
+        NestedTensorBlock + fmha.BlockDiagonalMask joint global+local forward
+        (dinov2/layers/block.py:161-260). Numerically identical to two separate
+        forwards: each crop's tokens attend only within their own segment.
+
+        g: (2B, Sg, Sg, 3) global crops (iBOT `masks` apply here);
+        l: (k·2B, Sl, Sl, 3) local crops. Returns (global dict, local dict)
+        with x_norm_clstoken / x_norm_patchtokens each."""
+        tg, _ = self.embed(g, with_pos_cls=True, masks=masks)
+        tl, _ = self.embed(l, with_pos_cls=True)
+        B2, Ng, C = tg.shape
+        nB, Nl, _ = tl.shape
+        if nB % B2:
+            raise ValueError(f"{nB} local crops not divisible by {B2} global rows")
+        k = nB // B2
+        x = jnp.concatenate([tg, tl.reshape(B2, k * Nl, C)], axis=1)
+        seg = np.concatenate([np.zeros(Ng, np.int32)]
+                             + [np.full(Nl, 1 + i, np.int32) for i in range(k)])
+        seg = jnp.broadcast_to(jnp.asarray(seg)[None], (B2, x.shape[1]))
+        x = self.run_blocks(x, 0, self.depth, segment_ids=seg)
+        x = self.final_norm(x)
+        xg = x[:, :Ng]
+        xl = x[:, Ng:].reshape(nB, Nl, C)
+        r = self.num_register_tokens
+        return ({"x_norm_clstoken": xg[:, 0], "x_norm_patchtokens": xg[:, 1 + r:]},
+                {"x_norm_clstoken": xl[:, 0], "x_norm_patchtokens": xl[:, 1 + r:]})
 
     def collect_block_outputs(self, x: jax.Array, taps: Sequence[int], remat_untapped: bool = False,
                               hw: Optional[Tuple[int, int]] = None) -> List[jax.Array]:

@@ -392,32 +392,38 @@ def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
 def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
     """dq + dV in ONE kernel: the ty·tx variant tiles the dq gdots already
     build are reused to accumulate the A-tile (a += aw_p·(ty·tx), a_dtype),
-    then dV[group] += Aᵀ @ g — the separate dV kernel's whole factor rebuild
-    and its extra g/v block traffic disappear.  Measured (round 2, standalone
-    flagship shapes): CAViT fwd+bwd 87→75 ms, CACNN 65→49 ms.  NOT the default:
-    this image's remote-compile helper deterministically dies (HTTP 500)
-    lowering the full ViT-L@588 train graph with it at bs≥12 (see CLAUDE.md);
-    enable via `use_merged_bwd(True)` where the toolchain allows."""
+    then dV[group] += gᵀ @ A — the separate dV kernel's whole factor rebuild
+    and its extra g/v block traffic disappear.
+
+    VMEM layout: the value block and the dV output ship TRANSPOSED (D on
+    sublanes, flat pixels on lanes) and g additionally ships as gT for the dV
+    dot — with D=64 on the lane axis Mosaic pads every row 64→128, which alone
+    put the straightforward layout 1.15 MB over the 16 MB scoped-VMEM ceiling
+    at flagship shapes (the transposed blocks pad nothing).  NOT the default:
+    this image's remote-compile helper died on the round-2 variant inside the
+    full ViT-L@588 train graph at bs≥12 (see CLAUDE.md); enable via
+    `use_merged_bwd(True)` after validating the full-graph compile."""
     L = len(spatial_shapes)
     fref = refs[0]
     maps = refs[1:1 + 2 * L]
-    vref = refs[1 + 2 * L]
-    gref = refs[2 + 2 * L]
-    dq_ref = refs[3 + 2 * L]
-    dv_ref = refs[4 + 2 * L]
+    vref = refs[1 + 2 * L]       # (1, D, G·GW) transposed
+    gref = refs[2 + 2 * L]       # (1, Lqp, D)
+    gtref = refs[3 + 2 * L]      # (1, D, Lqp) transposed
+    dq_ref = refs[4 + 2 * L]
+    dv_ref = refs[5 + 2 * L]     # (1, D, G·GW) transposed
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     def tile(qt, _):
         ts = pl.multiple_of(qt * TQ, TQ)
         facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
-        gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)
-        gq = gb.astype(jnp.float32)
+        gq = gref[0, pl.ds(ts, TQ), :].astype(jnp.float32)
+        gbt = gtref[0, :, pl.ds(ts, TQ)].astype(a_dtype)     # (D, TQ)
 
         def group(g, S):
             def run(S):
                 S = list(S)
                 rows = pl.multiple_of(g * _GW, _GW)
-                vblk = vref[0, pl.ds(rows, _GW), :].astype(a_dtype)
+                vblk_t = vref[0, :, pl.ds(rows, _GW)].astype(a_dtype)  # (D, GW)
                 a = jnp.zeros((TQ, _GW), a_dtype)
                 for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
                     def build(carry, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
@@ -425,27 +431,24 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
                         a, S3 = carry
                         S3 = list(S3)
                         hrow, wcol = _slice_maps(maps, lvl, g)
-                        # stack HALF the points per dot: the full 3·P-tile
-                        # stack puts the merged kernel ~1.2 MB over the 16 MB
-                        # scoped-VMEM ceiling at flagship shapes
-                        half = max(1, P // 2)
-                        for p0 in range(0, P, half):
-                            tiles = []
-                            for p in range(p0, min(p0 + half, P)):
-                                tx, ty, dtx, dty = _factors_t(
-                                    hrow, wcol, x0, fx, y0, fy, p, True, a_dtype)
-                                tiles += [ty * tx, ty * dtx, dty * tx]
-                                a = a + (aw[:, p:p + 1].astype(a_dtype)
-                                         * tiles[3 * (p - p0)])
-                            abc = jnp.concatenate(tiles, axis=0)
-                            s = jnp.dot(abc, vblk,
-                                        preferred_element_type=jnp.float32)
-                            TQl = abc.shape[0] // len(tiles)
-                            for p in range(p0, min(p0 + half, P)):
-                                for j in range(3):
-                                    r = ((p - p0) * 3 + j) * TQl
-                                    S3[j * P + p] = S3[j * P + p] + jnp.sum(
-                                        gq * s[r:r + TQl], axis=1, keepdims=True)
+                        tiles = []
+                        for p in range(P):
+                            tx, ty, dtx, dty = _factors_t(
+                                hrow, wcol, x0, fx, y0, fy, p, True, a_dtype)
+                            tiles += [ty * tx, ty * dtx, dty * tx]
+                            a = a + aw[:, p:p + 1].astype(a_dtype) * tiles[3 * p]
+                        abc = jnp.concatenate(tiles, axis=0)
+                        # contract lanes with the transposed value block
+                        # (the q@kᵀ MXU form)
+                        s = jax.lax.dot_general(
+                            abc, vblk_t, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (3P·TQ, D)
+                        TQl = abc.shape[0] // (3 * P)
+                        for p in range(P):
+                            for j in range(3):
+                                r = (p * 3 + j) * TQl
+                                S3[j * P + p] = S3[j * P + p] + jnp.sum(
+                                    gq * s[r:r + TQl], axis=1, keepdims=True)
                         return a, tuple(S3)
 
                     base = lvl * 3 * P
@@ -453,9 +456,9 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
                     a, S3 = jax.lax.cond(_active(spans[lvl], g), build,
                                          lambda c: c, (a, S3))
                     S[base:base + 3 * P] = list(S3)
-                dv_ref[0, pl.ds(rows, _GW), :] += jax.lax.dot_general(
-                    a, gb, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+                dv_ref[0, :, pl.ds(rows, _GW)] += jnp.dot(
+                    gbt, a, preferred_element_type=jnp.float32
+                ).astype(dv_ref.dtype)                        # (D, GW)
                 return tuple(S)
 
             return jax.lax.cond(_any_hit(spans, g), run, lambda S: tuple(S),
@@ -575,12 +578,13 @@ def _msda_bwd(spatial_shapes, res, grad):
                               TQd, Lqp // TQd, P, value.dtype),
             grid=(BM,),
             in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
-            + [_full_spec(G * _GW, D), _full_spec(Lqp, D)],
-            out_specs=[_fspec(3 * L * P, Lqp), _full_spec(G * _GW, D)],
+            + [_fspec(D, G * _GW), _full_spec(Lqp, D), _fspec(D, Lqp)],
+            out_specs=[_fspec(3 * L * P, Lqp), _fspec(D, G * _GW)],
             out_shape=[jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), value.dtype),
-                       jax.ShapeDtypeStruct((BM, G * _GW, D), value.dtype)],
+                       jax.ShapeDtypeStruct((BM, D, G * _GW), value.dtype)],
             interpret=_interpret(),
-        )(f, *map_args, vb, g)
+        )(f, *map_args, vb.transpose(0, 2, 1), g, g.transpose(0, 2, 1))
+        dv = dv.transpose(0, 2, 1)
         dq = dq.astype(jnp.float32).transpose(0, 2, 1)
         dx = dq[:, :, :L * P]
         dy = dq[:, :, L * P:2 * L * P]

@@ -51,6 +51,11 @@ class SSLConfig:
     ibot_loss_weight: float = 1.0
     koleo_loss_weight: float = 0.1
     n_local_crops: int = 8
+    # ONE attention call over [2 global | k·local] crops via flash segment ids
+    # — the reference's NestedTensorBlock/BlockDiagonalMask packing
+    # (dinov2/layers/block.py:161-260); numerically identical to separate
+    # forwards (test_ssl_packed_crops_match_separate)
+    packed_crops: bool = True
     lr: float = 4e-3
     weight_decay: float = 0.04
     adamw_beta1: float = 0.9
@@ -183,13 +188,20 @@ class SSLMetaArch:
             t_ibot_sm = sg(softmax_center_teacher(t_ibot, state["ibot_center"], teacher_temp))
 
             def loss_fn(student):
-                # student globals WITH mask-token substitution (iBOT)
-                s_out = self._backbone_fwd(student["backbone"], global_crops, masks=masks)
+                if (cfg.packed_crops and local_crops.shape[0]
+                        and local_crops.shape[0] % global_crops.shape[0] == 0):
+                    # globals+locals in one packed attention program
+                    s_out, l_out = self.backbone.apply(
+                        {"params": student["backbone"]}, global_crops,
+                        local_crops, masks=masks,
+                        method=self.backbone.forward_packed_crops)
+                else:
+                    # student globals WITH mask-token substitution (iBOT)
+                    s_out = self._backbone_fwd(student["backbone"], global_crops, masks=masks)
+                    l_out = self._backbone_fwd(student["backbone"], local_crops)
                 s_cls = s_out["x_norm_clstoken"]
                 s_patch = s_out["x_norm_patchtokens"]
                 s_dino_g = self._dino_head_fwd(student["dino_head"], s_cls)
-                # student locals
-                l_out = self._backbone_fwd(student["backbone"], local_crops)
                 s_dino_l = self._dino_head_fwd(student["dino_head"], l_out["x_norm_clstoken"])
 
                 g1, g2 = jnp.split(s_dino_g, 2, axis=0)

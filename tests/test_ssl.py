@@ -159,6 +159,53 @@ def test_ssl_step_dp8_matches_dp1():
         np.testing.assert_allclose(x, y, rtol=1e-2, atol=1e-3)
 
 
+def test_ssl_packed_crops_match_separate():
+    """forward_packed_crops (segment-id block-diagonal attention, the
+    BlockDiagonalMask equivalent) must equal two separate backbone forwards,
+    and the SSL step with packed_crops on/off must produce the same loss."""
+    from adaptersis_tpu.models.vit import DinoVisionTransformer
+
+    rng = np.random.default_rng(11)
+    B2, k = 8, 2
+    g = jnp.asarray(rng.standard_normal((B2, 28, 28, 3)), jnp.float32)
+    l = jnp.asarray(rng.standard_normal((B2 * k, 14, 14, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(size=(B2, 4)) > 0.5)
+
+    bb = DinoVisionTransformer(img_size=28, patch_size=14, embed_dim=32,
+                               depth=2, num_heads=2)
+    variables = bb.init(jax.random.PRNGKey(0), g)
+    gd, ld = bb.apply(variables, g, l, masks=masks,
+                      method=bb.forward_packed_crops)
+    gsep = bb.apply(variables, g, masks=masks, method=bb.forward_with_masks)
+    lsep = bb.apply(variables, l, method=bb.forward_with_masks)
+    np.testing.assert_allclose(np.asarray(gd["x_norm_clstoken"]),
+                               np.asarray(gsep["x_norm_clstoken"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd["x_norm_patchtokens"]),
+                               np.asarray(gsep["x_norm_patchtokens"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld["x_norm_clstoken"]),
+                               np.asarray(lsep["x_norm_clstoken"]),
+                               rtol=1e-5, atol=1e-5)
+
+    schedules = {kk: np.full(2, v) for kk, v in
+                 [("lr", 1e-3), ("wd", 0.04), ("momentum", 0.9),
+                  ("teacher_temp", 0.04), ("last_layer_lr", 1e-3)]}
+    losses = {}
+    mask_tok = jnp.asarray(rng.uniform(size=(B2, 4)) > 0.5)
+    for packed in (False, True):
+        bb2 = DinoVisionTransformer(img_size=28, patch_size=14, embed_dim=32,
+                                    depth=2, num_heads=2)
+        cfg = SSLConfig(dino_out_dim=64, ibot_out_dim=64,
+                        n_local_crops=2 * k,  # 16 locals / (B2/2) samples
+                        packed_crops=packed)
+        arch = SSLMetaArch(bb2, cfg)
+        state = arch.init_state(jax.random.PRNGKey(0), 28, 14)
+        _, metrics = arch.train_step(state, g, l, mask_tok, schedules, 0)
+        losses[packed] = float(metrics["total_loss"])
+    assert abs(losses[True] - losses[False]) < 1e-5, losses
+
+
 def test_ssl_step_fsdp_matches_dp1():
     """(data:4 × fsdp:2) must match a single device: FSDP is a pure layout
     change — XLA all-gathers params per layer and reduce-scatters grads

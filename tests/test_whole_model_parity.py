@@ -39,125 +39,12 @@ H = W = 588
 B = 1
 
 
-def _load(name, path):
-    spec = importlib.util.spec_from_file_location(name, path)
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[name] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-
-def _load_reference_modules():
-    pkg = types.ModuleType("refbackbones")
-    pkg.__path__ = ["/root/reference/backbones"]
-    sys.modules.setdefault("refbackbones", pkg)
-    import os
-
-    for name, path in [
-        ("refbackbones.ops", "/root/reference/backbones/ops/__init__.py"),
-        ("refbackbones.ops.modules", "/root/reference/backbones/ops/modules/__init__.py"),
-        ("refbackbones.ops.modules.ms_deform_attn",
-         "/root/reference/backbones/ops/modules/ms_deform_attn.py"),
-        ("refbackbones.adapter_blocks", "/root/reference/backbones/adapter_blocks.py"),
-        ("refbackbones.unet_parts", "/root/reference/backbones/unet_parts.py"),
-    ]:
-        if name in sys.modules and not sys.modules[name].__dict__.get("__file__"):
-            pass
-        if name in sys.modules and name.count(".") and hasattr(sys.modules[name], "CAViT"):
-            continue
-        if not os.path.exists(path):
-            mod = types.ModuleType(name)
-            mod.__path__ = [os.path.dirname(path)]
-            sys.modules[name] = mod
-            continue
-        if name not in sys.modules or not getattr(sys.modules[name], "__file__", None):
-            spec = importlib.util.spec_from_file_location(name, path)
-            mod = importlib.util.module_from_spec(spec)
-            sys.modules[name] = mod
-            spec.loader.exec_module(mod)
-    ab = sys.modules["refbackbones.adapter_blocks"]
-    enc = _load("ref_encoders_wm", "/root/reference/backbones/encoders.py")
-    # decoders.py imports unet_parts relatively through the package
-    sys.modules.setdefault("refbackbones.unet_parts", sys.modules.get("refbackbones.unet_parts"))
-    spec = importlib.util.spec_from_file_location(
-        "refbackbones.decoders", "/root/reference/backbones/decoders.py")
-    dec = importlib.util.module_from_spec(spec)
-    sys.modules["refbackbones.decoders"] = dec
-    spec.loader.exec_module(dec)
-    from dinov2.models.vision_transformer import DinoVisionTransformer as RefViT
-    return ab, enc, dec, RefViT
-
-
-# ---- torch→flax weight maps (same conventions as the module parity tests) ----
-
-def _dense(m):
-    return {"kernel": m.weight.detach().numpy().T, "bias": m.bias.detach().numpy()}
-
-
-def _ln(m):
-    return {"scale": m.weight.detach().numpy(), "bias": m.bias.detach().numpy()}
-
-
-def _conv(m):
-    d = {"kernel": m.weight.detach().numpy().transpose(2, 3, 1, 0)}
-    if m.bias is not None:
-        d["bias"] = m.bias.detach().numpy()
-    return d
-
-
-def _bn(m):
-    return ({"scale": m.weight.detach().numpy(), "bias": m.bias.detach().numpy()},
-            {"mean": m.running_mean.detach().numpy(), "var": m.running_var.detach().numpy()})
-
-
-def _attn_params(a):
-    return {"value_proj": _dense(a.value_proj), "output_proj": _dense(a.output_proj),
-            "sampling_offsets": _dense(a.sampling_offsets),
-            "attention_weights": _dense(a.attention_weights)}
-
-
-def _cavit_params(ref):
-    return {"query_norm": _ln(ref.query_norm), "feat_norm": _ln(ref.feat_norm),
-            "attn": _attn_params(ref.attn), "gamma": ref.gamma.detach().numpy()}
-
-
-def _cacnn_params(ref):
-    dw = ref.ffn.dwconv.dwconv
-    return {
-        "query_norm": _ln(ref.query_norm), "feat_norm": _ln(ref.feat_norm),
-        "attn": _attn_params(ref.attn), "ffn_norm": _ln(ref.ffn_norm),
-        "ffn": {"fc1": _dense(ref.ffn.fc1), "fc2": _dense(ref.ffn.fc2),
-                "dwconv": {"dwconv": {
-                    "kernel": dw.weight.detach().numpy().transpose(2, 3, 1, 0),
-                    "bias": dw.bias.detach().numpy()}}},
-    }
-
-
-def _encoder_params(ref):
-    params, stats = {}, {}
-    stem = list(ref.stem)
-    for i, (ci, bi) in enumerate([(0, 1), (3, 4), (6, 7)], start=1):
-        p, s = _bn(stem[bi])
-        params[f"stem{i}"] = {"conv": _conv(stem[ci]), "bn": p}
-        stats[f"stem{i}"] = {"bn": s}
-    for name, seq in [("conv2", ref.conv2), ("conv3", ref.conv3), ("conv4", ref.conv4)]:
-        p, s = _bn(seq[1])
-        params[name] = {"conv": _conv(seq[0]), "bn": p}
-        stats[name] = {"bn": s}
-    for name in ("fc1", "fc2", "fc3", "fc4"):
-        params[name] = _conv(getattr(ref, name))
-    return params, stats
-
-
-def _decoder_params(ref):
-    params, stats = {}, {}
-    for i in range(1, 5):
-        seq = getattr(ref, f"decoder_{i}")
-        p, s = _bn(seq[1])
-        params[f"decoder_{i}"] = {"conv": _conv(seq[0]), "bn": p}
-        stats[f"decoder_{i}"] = {"bn": s}
-    params["final_out"] = _conv(ref.final_out)
-    return params, stats
+from adaptersis_tpu.train.ref_transplant import (  # noqa: E402
+    bn_params as _bn, cacnn_params as _cacnn_params,
+    cavit_params as _cavit_params, conv_params as _conv,
+    decoder_params as _decoder_params, dense_params as _dense,
+    encoder_params as _encoder_params, ln_params as _ln,
+    load_reference_modules)
 
 
 def _reference_pipeline(mods, inp, target):
@@ -216,8 +103,11 @@ def _reference_pipeline(mods, inp, target):
     output = seg_dec(output_last_cat)
     output = torch.nn.functional.interpolate(output, size=(H, W), mode="bilinear")
 
-    from importlib import import_module
-    DC = _load("ref_dice_wm", "/root/reference/segloss/dice.py").DC  # noqa: N806
+    spec = importlib.util.spec_from_file_location(
+        "ref_dice_wm", "/root/reference/segloss/dice.py")
+    dice_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dice_mod)
+    DC = dice_mod.DC  # noqa: N806
     # DC.onehot calls .cuda(); shapes match after unsqueeze → scatter path unused
     sm = tnn.Softmax(1)(output)
     tgt1h = torch.zeros_like(sm).scatter_(1, target.unsqueeze(1).long(), 1)
@@ -238,18 +128,9 @@ def _reference_pipeline(mods, inp, target):
 @pytest.fixture(scope="module")
 def parity_setup():
     try:
-        ab, encmod, decmod, RefViT = _load_reference_modules()
+        ab, encmod, decmod, RefViT = load_reference_modules()
     except Exception as e:  # pragma: no cover
         pytest.skip(f"reference modules not importable: {e}")
-
-    # The published reference wraps its CPU MSDA fallback in an autograd
-    # Function with NO backward (ops/modules/ms_deform_attn.py:17-30 — the
-    # intended CUDA op implements one); route around the wrapper so torch can
-    # differentiate the same math.
-    msda_mod = sys.modules["refbackbones.ops.modules.ms_deform_attn"]
-    msda_mod.MSDeformAttnFunction.apply = staticmethod(
-        lambda v, ss, lsi, loc, aw, step:
-        msda_mod.ms_deform_attn_core_pytorch(v, ss, loc, aw))
 
     torch.manual_seed(0)
     vit = RefViT(img_size=518, patch_size=14, embed_dim=E, depth=DEPTH,
