@@ -235,6 +235,31 @@ class DinoVisionTransformer(nn.Module):
         return tuple(patch_toks)
 
 
+class DinoV1VisionTransformer(DinoVisionTransformer):
+    """EXACT DINO-v1 ViT semantics (reference root vision_transformer.py:134-256),
+    as a configuration of the shared block stack:
+
+      * no LayerScale (construct with init_values=None — v1 blocks have none)
+      * `__call__` returns the final-normed PATCH tokens, cls dropped (:219-224)
+      * `get_intermediate_layers(x, n)` returns the last-n blocks' FULL normed
+        token sequences INCLUDING cls (:236-244 — DINOv2 strips cls, v1 keeps)
+      * same "+0.1" bicubic pos-embed fudge (:176-196; shared implementation)
+
+    Init delta (documented): v1 trunc-normal-inits the cls token (:163); ours
+    keeps the dinov2 zero-ish init — irrelevant under weight transplant, which
+    is the only v1 use on the reference main path."""
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        tokens, hw = self.embed(x, with_pos_cls=True)
+        tokens = self.run_blocks(tokens, 0, self.depth, hw=hw)
+        return self.final_norm(tokens)[:, 1:]
+
+    def get_intermediate_layers(self, x: jax.Array, n: int = 1, **_):
+        tokens, hw = self.embed(x, with_pos_cls=True)
+        outs = self.collect_block_outputs(tokens, list(range(self.depth - n, self.depth)), hw=hw)
+        return [self.final_norm(o) for o in outs]
+
+
 # ---- factories (dinov2/models/vision_transformer.py:305-357) ----
 
 def vit_small(**kw) -> DinoVisionTransformer:
@@ -273,6 +298,13 @@ ARCHS = {
     "vit_giant2": vit_giant2,
     # DINO-v1 aliases accepted by the reference CLI (--arch vit_small/vit_base)
     "vit_tiny": partial(DinoVisionTransformer, embed_dim=192, depth=12, num_heads=3),
+    # exact DINO-v1 modules (root vision_transformer.py:246-268 factories)
+    "vit_tiny_v1": partial(DinoV1VisionTransformer, embed_dim=192, depth=12,
+                           num_heads=3, init_values=None),
+    "vit_small_v1": partial(DinoV1VisionTransformer, embed_dim=384, depth=12,
+                            num_heads=6, init_values=None),
+    "vit_base_v1": partial(DinoV1VisionTransformer, embed_dim=768, depth=12,
+                           num_heads=12, init_values=None),
     # m2f windowed backbones (windowed attention, global at quarter boundaries)
     "vit_small_windowed": _windowed(vit_small, 12),
     "vit_base_windowed": _windowed(vit_base, 12),
