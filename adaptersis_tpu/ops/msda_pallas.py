@@ -389,41 +389,45 @@ def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
     jax.lax.fori_loop(0, nQ, tile, 0)
 
 
-def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
+def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
+                       transposed, *refs):
     """dq + dV in ONE kernel: the ty·tx variant tiles the dq gdots already
-    build are reused to accumulate the A-tile (a += aw_p·(ty·tx), a_dtype),
-    then dV[group] += gᵀ @ A — the separate dV kernel's whole factor rebuild
-    and its extra g/v block traffic disappear.
+    build are reused to accumulate per-level A-tiles, and dV is accumulated
+    inside each level's active branch — the separate dV kernel's whole factor
+    rebuild and its extra g/v block traffic disappear.
 
-    VMEM layout: the value block and the dV output ship TRANSPOSED (D on
-    sublanes, flat pixels on lanes) and g additionally ships as gT for the dV
-    dot — with D=64 on the lane axis Mosaic pads every row 64→128, which alone
-    put the straightforward layout 1.15 MB over the 16 MB scoped-VMEM ceiling
-    at flagship shapes (the transposed blocks pad nothing).  NOT the default:
-    this image's remote-compile helper died on the round-2 variant inside the
-    full ViT-L@588 train graph at bs≥12 (see CLAUDE.md); enable via
-    `use_merged_bwd(True)` after validating the full-graph compile."""
+    `transposed` (used when D is NOT a 128-multiple): the value block, the dV
+    output and an extra gT input ship with D on SUBLANES — D=64 on the lane
+    axis makes Mosaic pad every row 64→128, which doubles the two big blocks.
+    For D≥128-multiples the natural orientation is strictly smaller (no gT)."""
     L = len(spatial_shapes)
     fref = refs[0]
     maps = refs[1:1 + 2 * L]
-    vref = refs[1 + 2 * L]       # (1, D, G·GW) transposed
+    vref = refs[1 + 2 * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
     gref = refs[2 + 2 * L]       # (1, Lqp, D)
-    gtref = refs[3 + 2 * L]      # (1, D, Lqp) transposed
-    dq_ref = refs[4 + 2 * L]
-    dv_ref = refs[5 + 2 * L]     # (1, D, G·GW) transposed
+    if transposed:
+        gtref = refs[3 + 2 * L]  # (1, D, Lqp)
+        dq_ref = refs[4 + 2 * L]
+        dv_ref = refs[5 + 2 * L]  # (1, D, G·GW)
+    else:
+        dq_ref = refs[3 + 2 * L]
+        dv_ref = refs[4 + 2 * L]  # (1, G·GW, D)
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     def tile(qt, _):
         ts = pl.multiple_of(qt * TQ, TQ)
         facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
-        gq = gref[0, pl.ds(ts, TQ), :].astype(jnp.float32)
-        gbt = gtref[0, :, pl.ds(ts, TQ)].astype(a_dtype)     # (D, TQ)
+        gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)        # (TQ, D)
+        gq = gb.astype(jnp.float32)
+        gbt = (gtref[0, :, pl.ds(ts, TQ)].astype(a_dtype)     # (D, TQ)
+               if transposed else None)
 
         def group(g, S):
             def run(S):
                 S = list(S)
                 rows = pl.multiple_of(g * _GW, _GW)
-                vblk_t = vref[0, :, pl.ds(rows, _GW)].astype(a_dtype)  # (D, GW)
+                vblk = (vref[0, :, pl.ds(rows, _GW)] if transposed
+                        else vref[0, pl.ds(rows, _GW), :]).astype(a_dtype)
                 a = jnp.zeros((TQ, _GW), a_dtype)
                 for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
                     def build(carry, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
@@ -438,11 +442,13 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
                             tiles += [ty * tx, ty * dtx, dty * tx]
                             a = a + aw[:, p:p + 1].astype(a_dtype) * tiles[3 * p]
                         abc = jnp.concatenate(tiles, axis=0)
-                        # contract lanes with the transposed value block
-                        # (the q@kᵀ MXU form)
-                        s = jax.lax.dot_general(
-                            abc, vblk_t, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (3P·TQ, D)
+                        if transposed:
+                            s = jax.lax.dot_general(      # q@kᵀ MXU form
+                                abc, vblk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        else:
+                            s = jnp.dot(abc, vblk,
+                                        preferred_element_type=jnp.float32)
                         TQl = abc.shape[0] // (3 * P)
                         for p in range(P):
                             for j in range(3):
@@ -456,9 +462,16 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
                     a, S3 = jax.lax.cond(_active(spans[lvl], g), build,
                                          lambda c: c, (a, S3))
                     S[base:base + 3 * P] = list(S3)
-                dv_ref[0, :, pl.ds(rows, _GW)] += jnp.dot(
-                    gbt, a, preferred_element_type=jnp.float32
-                ).astype(dv_ref.dtype)                        # (D, GW)
+                # ONE dV dot per active group, from the carried A-tile
+                if transposed:
+                    dv_ref[0, :, pl.ds(rows, _GW)] += jnp.dot(
+                        gbt, a, preferred_element_type=jnp.float32
+                    ).astype(dv_ref.dtype)
+                else:
+                    dv_ref[0, pl.ds(rows, _GW), :] += jax.lax.dot_general(
+                        a, gb, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ).astype(dv_ref.dtype)
                 return tuple(S)
 
             return jax.lax.cond(_any_hit(spans, g), run, lambda S: tuple(S),
@@ -573,18 +586,29 @@ def _msda_bwd(spatial_shapes, res, grad):
     # below 128; tiny interpret-mode shapes keep TQ as-is)
     TQd = TQ if TQ <= 128 else max(128, TQ // 2)
     if _MERGED_BWD:
+        transposed = D % 128 != 0
+        if transposed:
+            ins = [f, *map_args, vb.transpose(0, 2, 1), g, g.transpose(0, 2, 1)]
+            in_specs = [_fspec(f.shape[1], Lqp)] + map_specs + [
+                _fspec(D, G * _GW), _full_spec(Lqp, D), _fspec(D, Lqp)]
+            dv_spec, dv_shape = _fspec(D, G * _GW), (BM, D, G * _GW)
+        else:
+            ins = [f, *map_args, vb, g]
+            in_specs = [_fspec(f.shape[1], Lqp)] + map_specs + [
+                _full_spec(G * _GW, D), _full_spec(Lqp, D)]
+            dv_spec, dv_shape = _full_spec(G * _GW, D), (BM, G * _GW, D)
         dq, dv = pl.pallas_call(
             functools.partial(_bwd_merged_kernel, spatial_shapes, G, starts,
-                              TQd, Lqp // TQd, P, value.dtype),
+                              TQd, Lqp // TQd, P, value.dtype, transposed),
             grid=(BM,),
-            in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
-            + [_fspec(D, G * _GW), _full_spec(Lqp, D), _fspec(D, Lqp)],
-            out_specs=[_fspec(3 * L * P, Lqp), _fspec(D, G * _GW)],
+            in_specs=in_specs,
+            out_specs=[_fspec(3 * L * P, Lqp), dv_spec],
             out_shape=[jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), value.dtype),
-                       jax.ShapeDtypeStruct((BM, D, G * _GW), value.dtype)],
+                       jax.ShapeDtypeStruct(dv_shape, value.dtype)],
             interpret=_interpret(),
-        )(f, *map_args, vb.transpose(0, 2, 1), g, g.transpose(0, 2, 1))
-        dv = dv.transpose(0, 2, 1)
+        )(*ins)
+        if transposed:
+            dv = dv.transpose(0, 2, 1)
         dq = dq.astype(jnp.float32).transpose(0, 2, 1)
         dx = dq[:, :, :L * P]
         dy = dq[:, :, L * P:2 * L * P]

@@ -27,7 +27,18 @@ REPEATS = 3  # median-of-3: run-to-run spread on this tunnel is ~6% (ROUND2_NOTE
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # merged dq+dV MSDA backward (ops/msda_pallas.py): −22 ms/call standalone,
+    # but the flagship CAViT instance (D=128, G=7) still exceeds the 16 MB
+    # scoped-VMEM ceiling by ~0.3 MB inside the full graph — off by default
+    # until the level-loop stack reuse lands; ASN_MERGED_MSDA=1 to try
+    if os.environ.get("ASN_MERGED_MSDA", "0") == "1":
+        from adaptersis_tpu.ops import msda_pallas
+
+        msda_pallas.use_merged_bwd(True)
 
     # persistent compilation cache: the matmul deformable-attention program takes
     # minutes to compile via this image's remote-compile tunnel; cache it so

@@ -47,17 +47,18 @@ def test_pallas_msda_matches_gather_fwd_and_grads(shapes, Lq):
                                    rtol=1e-4, atol=1e-4, err_msg=f"grad {i}")
 
 
-@pytest.mark.parametrize("shapes,Lq", [
-    ([(8, 8), (4, 4), (2, 2)], 9),
-    ([(40, 37)], 20),
+@pytest.mark.parametrize("shapes,Lq,D", [
+    ([(8, 8), (4, 4), (2, 2)], 9, 8),    # D<128 → transposed v/dV layout
+    ([(40, 37)], 20, 8),
+    ([(8, 8), (4, 4)], 9, 128),          # D=128 → natural layout, no gT
 ])
-def test_merged_bwd_matches_split(shapes, Lq):
+def test_merged_bwd_matches_split(shapes, Lq, D):
     """The merged dq+dV kernel must produce the same gradients as the split
     two-kernel backward (fp32 path: bit-identical accumulation order per
-    group, so tight tolerances)."""
+    group, so tight tolerances). Covers both VMEM orientations."""
     rng = np.random.default_rng(3)
     L = len(shapes)
-    B, M, D, P = 2, 2, 8, 4
+    B, M, P = 2, 2, 4
     S = sum(h * w for h, w in shapes)
     v = jnp.asarray(rng.standard_normal((B, S, M, D)), jnp.float32)
     loc = jnp.asarray(rng.uniform(-0.1, 1.1, (B, Lq, M, L, P, 2)), jnp.float32)

@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import adaptersis_tpu.ops.msda_pallas as mp  # noqa: E402
 
-B, M, D, P = 16, 8, 64, 4
+B, M, D, P = 16, 8, 128, 4   # the flagship MSDA geometry (d_value 1024 / 8 heads)
 REPS = 10
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -75,13 +75,15 @@ def bench(name, shapes, Lq, query_shapes):
 
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}")
-    cnn_shapes = [(84, 84), (42, 42), (21, 21)]
+    # ViT-L@588 geometry: ViT grid 42×42, encoder pyramid 73/37/19
+    cnn_shapes = [(73, 73), (37, 37), (19, 19)]
     for merged in (False, True):
         mp.use_merged_bwd(merged)
         print(f"--- merged_bwd={merged} ---")
         try:
             bench("CAViT", tuple(cnn_shapes), 1764, [(42, 42)])
-            bench("CACNN", ((42, 42),), 9261, cnn_shapes)
+            bench("CACNN", ((42, 42),), sum(h * w for h, w in cnn_shapes),
+                  cnn_shapes)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL: {type(e).__name__}: {str(e)[:300]}")
     mp.use_merged_bwd(False)
