@@ -605,6 +605,9 @@ def _msda_bwd(spatial_shapes, res, grad):
             out_specs=[_fspec(3 * L * P, Lqp), dv_spec],
             out_shape=[jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), value.dtype),
                        jax.ShapeDtypeStruct(dv_shape, value.dtype)],
+            # the flagship CAViT instance needs ~17.1 MB scoped VMEM — above
+            # Mosaic's 16 MB default but well within the chip's physical VMEM
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2 ** 20),
             interpret=_interpret(),
         )(*ins)
         if transposed:

@@ -31,11 +31,10 @@ def main() -> None:
 
     import jax
 
-    # merged dq+dV MSDA backward (ops/msda_pallas.py): −22 ms/call standalone,
-    # but the flagship CAViT instance (D=128, G=7) still exceeds the 16 MB
-    # scoped-VMEM ceiling by ~0.3 MB inside the full graph — off by default
-    # until the level-loop stack reuse lands; ASN_MERGED_MSDA=1 to try
-    if os.environ.get("ASN_MERGED_MSDA", "0") == "1":
+    # merged dq+dV MSDA backward (ops/msda_pallas.py): 104→90 ms/call on the
+    # flagship CAViT geometry (needs the raised Mosaic vmem_limit the kernel
+    # now requests); ASN_MERGED_MSDA=0 falls back to the split kernels
+    if os.environ.get("ASN_MERGED_MSDA", "1") != "0":
         from adaptersis_tpu.ops import msda_pallas
 
         msda_pallas.use_merged_bwd(True)
