@@ -61,13 +61,17 @@ class PatchEmbed(nn.Module):
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
+    # exact (erf) GELU is the torch nn.GELU default the reference uses; the
+    # tanh approximation is ~1.7 ms/layer faster on v5e (erf is
+    # VPU-transcendental-bound at the flagship 4096-wide hidden) and deviates
+    # by < 1e-3 — below the bf16 compute noise. Opt-in via gelu_approx.
+    gelu_approx: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
-        # torch nn.GELU default is the exact (erf) form.
-        x = jax.nn.gelu(x, approximate=False)
+        x = jax.nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
         return x
 
@@ -274,6 +278,7 @@ class Block(nn.Module):
     attn_impl: str = "einsum"
     windowed: bool = False       # m2f windowed-ViT block (backbones/vit.py:324-384)
     window_size: int = 14
+    gelu_approx: bool = False    # tanh GELU (see Mlp)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -300,7 +305,8 @@ class Block(nn.Module):
         if self.ffn_layer == "swiglufused":
             h = SwiGLUFFNFused(self.dim, dtype=self.dtype, name="mlp")(h)
         elif self.ffn_layer == "mlp":
-            h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h)
+            h = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                    gelu_approx=self.gelu_approx, dtype=self.dtype, name="mlp")(h)
         else:
             raise ValueError(f"unknown ffn_layer {self.ffn_layer!r}")
         x = x + ls("ls2", h)

@@ -51,6 +51,7 @@ class DinoVisionTransformer(nn.Module):
     # (segmentation_m2f/models/backbones/vit.py:440-455: scalar or list)
     window_attn: Optional[Sequence[bool]] = None
     window_size: int = 14
+    gelu_approx: bool = False    # tanh GELU (layers.Mlp) — TPU perf opt-in
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -76,6 +77,7 @@ class DinoVisionTransformer(nn.Module):
                 attn_impl=self.attn_impl,
                 windowed=bool(wa[i]),
                 window_size=self.window_size,
+                gelu_approx=self.gelu_approx,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

@@ -51,8 +51,11 @@ def main() -> None:
     from adaptersis_tpu.train import Trainer, TrainerConfig
 
     n_chips = jax.device_count()
+    # gelu_approx: tanh GELU in the frozen walks — measured 6.45→4.72 ms/layer
+    # MLP on v5e (erf is transcendental-bound); |Δ| < 1e-3, below bf16 noise
     backbone = build_backbone("vit_large", img_size=518, patch_size=14,
-                              attn_impl="flash", dtype=jnp.bfloat16)
+                              attn_impl="flash", gelu_approx=True,
+                              dtype=jnp.bfloat16)
     model = AdapterSegmentor(backbone=backbone, num_classes=2, n_last_blocks=4,
                              msda_impl="pallas", dtype=jnp.bfloat16)
     trainer = Trainer(model, TrainerConfig(loss="dc", use_clahe=True),

@@ -42,6 +42,25 @@ def data():
     return v, loc, aw, t
 
 
+def run_fwd(tag):
+    v, loc, aw, _ = data()
+    f = jax.jit(lambda v_, l_, w_: mp.msda_pallas(v_, l_, w_, SHAPES))
+    try:
+        out = f(v, loc, aw)
+        out.block_until_ready()
+        float(jnp.asarray(out).astype(jnp.float32).sum())
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            out = f(v, loc, aw)
+        float(jnp.asarray(out).astype(jnp.float32).sum())
+        dt = (time.perf_counter() - t0) / REPS * 1e3
+        print(f"{tag}: fwd {dt:.2f} ms", flush=True)
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        i = msg.find("Scoped allocation")
+        print(f"{tag}: FAIL {msg[i:i + 90] if i >= 0 else msg[:160]}", flush=True)
+
+
 def run(tag):
     v, loc, aw, t = data()
     g = jax.jit(jax.grad(
@@ -68,12 +87,13 @@ def run(tag):
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}")
     mp.use_merged_bwd(False)
-    run("split GW=1024")
-    mp.use_merged_bwd(True)
-    for gw in (1024, 512):
+    for gw in (1024, 512, 2048):
         mp._GW = gw
         mp._plan.cache_clear()
-        run(f"merged GW={gw}")
+        run_fwd(f"fwd GW={gw}")
     mp._GW = 1024
     mp._plan.cache_clear()
+    run("split GW=1024")
+    mp.use_merged_bwd(True)
+    run("merged GW=1024")
     mp.use_merged_bwd(False)

@@ -85,6 +85,9 @@ def get_args_parser():
                    help="backbone self-attention: plain XLA SDPA or the tuned "
                         "Pallas flash kernel (TPU; O(N) memory, faster at the "
                         "flagship 1765-token sequence)")
+    p.add_argument("--gelu_approx", action="store_true",
+                   help="tanh GELU in the backbone MLPs (~1.7 ms/layer faster "
+                        "on v5e; |Δ| < 1e-3 vs the reference's exact erf)")
     p.add_argument("--msda_impl", default="gather",
                    choices=["gather", "matmul", "pallas"],
                    help="deformable-attention implementation: lane-gather (fast "
@@ -166,7 +169,8 @@ def train_seg(args):
     from adaptersis_tpu.models.tap_segmentor import TapSegmentor
 
     backbone = build_backbone(arch, img_size=518, patch_size=patch,
-                              attn_impl=args.attn_impl, dtype=dtype)
+                              attn_impl=args.attn_impl,
+                              gelu_approx=args.gelu_approx, dtype=dtype)
     # per-model reference loss defaults (each eval script hardcodes its own)
     loss = args.loss
     trainer_softmax = True
