@@ -61,6 +61,13 @@ class AdapterSegmentor(nn.Module):
     parity_frozen_head: bool = False     # reproduce train.py:389-406 no_grad quirk
     mla_last_block_bug: bool = False     # reproduce train_mla.py:339-341
     msda_impl: str = "gather"            # deformable-attention impl (see ops/)
+    # run the clean walk and the adapter prefix as ONE 2B-batch walk over the
+    # shared blocks 0..depth-n (identical numerics: the adapter rows carry one
+    # segment-isolated dummy token to equalize sequence length). MEASURED
+    # NEGATIVE on v5e at the flagship shape (11.17 → 10.66 img/s: the
+    # segment-id masking in the packed flash layers costs more than the halved
+    # per-layer dispatch saves) — default off, kept for smaller batches/seqs.
+    batch_walks: bool = False
     encoder_inplanes: int = 64           # FeatureEncoder width (ref encoders.py:5)
     decoder_features: Optional[Sequence[int]] = None  # ref decoders.py:93 default
     dtype: Dtype = jnp.float32
@@ -112,18 +119,40 @@ class AdapterSegmentor(nn.Module):
         (ref1, shapes1), (ref2, shapes2) = adapter_geometry((hp, wp), cnn_shapes)
 
         # ---- clean frozen forward → last-n normed patch-token taps (train.py:287-298)
-        tokens, _ = self.backbone.embed(x, with_pos_cls=True)
-        tap_idx = list(range(depth - n, depth))
-        # NO remat here: the whole walk sits under stop_gradient, so no
-        # residuals are ever needed — rematerializing made XLA re-run the
+        # NO remat anywhere here: the whole walk sits under stop_gradient, so
+        # no residuals are ever needed — rematerializing made XLA re-run the
         # frozen blocks in the backward anyway (~150 ms/step measured, the
         # recompute is not DCE'd)
-        raw_taps = self.backbone.collect_block_outputs(tokens, tap_idx)
-        taps = [sg(self.backbone.final_norm(t)[:, 1:]) for t in raw_taps]
+        tokens, _ = self.backbone.embed(x, with_pos_cls=True)
+        tap_idx = list(range(depth - n, depth))
+        stop = depth - (n - 1)          # exclusive end of the shared prefix
+        if self.batch_walks and stop > 0:
+            # both walks run blocks 0..depth-n on the same images → ONE
+            # 2B-batch walk for the shared prefix. The adapter stream has one
+            # token fewer (no cls, train.py:300); a dummy token in its own
+            # attention segment equalizes the length without touching numerics.
+            xa0, _ = self.backbone.embed(x, with_pos_cls=False)
+            dummy = jnp.zeros((B, 1, E), xa0.dtype)
+            packed = jnp.concatenate(
+                [tokens, jnp.concatenate([dummy, xa0], axis=1)], axis=0)
+            import numpy as _np
 
-        # ---- adapter re-walk: no cls, no pos embed (train.py:300-301) ----
-        xa, _ = self.backbone.embed(x, with_pos_cls=False)
-        xa = sg(self.backbone.run_blocks(xa, 0, depth - (n - 1)))
+            ids = _np.zeros((2, tokens.shape[1]), _np.int32)
+            ids[1, 0] = 1                # isolate the dummy token
+            seg = jnp.asarray(_np.repeat(ids, B, axis=0))
+            packed = self.backbone.run_blocks(packed, 0, stop, segment_ids=seg)
+            clean = packed[:B]
+            xa = sg(packed[B:, 1:])
+            raw_taps = [clean]           # block depth-n output
+            for i in range(stop, depth):
+                clean = self.backbone.run_blocks(clean, i, i + 1)
+                raw_taps.append(clean)
+        else:
+            raw_taps = self.backbone.collect_block_outputs(tokens, tap_idx)
+            # ---- adapter re-walk: no cls, no pos embed (train.py:300-301) ----
+            xa0, _ = self.backbone.embed(x, with_pos_cls=False)
+            xa = sg(self.backbone.run_blocks(xa0, 0, stop))
+        taps = [sg(self.backbone.final_norm(t)[:, 1:]) for t in raw_taps]
 
         round_outputs = []
         for r in range(n):

@@ -62,7 +62,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_GW = 1024       # flat source pixels per group (A-tile lane count)
+_GW = 1024       # flat source pixels per group (A-tile lane count), bwd kernels
+_GW_FWD = 512    # fwd kernel group width — measured 28.8→23.2 ms/call (CAViT
+                 # flagship geometry): smaller tiles skip more, and the fwd
+                 # does only ONE dot per group so the extra fixed dot cost is
+                 # cheap; the bwd's many dots prefer 1024 (115.6 vs 104.6)
 _TQ = 128        # query-tile rows
 _SENTINEL = -(2 ** 30)
 
@@ -117,14 +121,14 @@ def supported(spatial_shapes, D: int = 0, Lq: int = 0, P: int = 4,
 
 
 @functools.lru_cache(maxsize=64)
-def _plan(spatial_shapes):
+def _plan(spatial_shapes, gw=_GW):
     """Static per-level geometry + constant coordinate maps.
 
-    Returns (G, starts, maps) where maps[l] = (hrow, wcol) int32 (G, 1024)
+    Returns (G, starts, maps) where maps[l] = (hrow, wcol) int32 (G, gw)
     giving the level-local pixel coords of each flat lane, sentinel outside."""
     S = sum(h * w for h, w in spatial_shapes)
-    G = _round_up(S, _GW) // _GW
-    s_flat = np.arange(G * _GW, dtype=np.int64)
+    G = _round_up(S, gw) // gw
+    s_flat = np.arange(G * gw, dtype=np.int64)
     starts = []
     maps = []
     start = 0
@@ -134,7 +138,7 @@ def _plan(spatial_shapes):
         hrow = np.where(inside, local // max(W, 1), _SENTINEL).astype(np.int32)
         wcol = np.where(inside, local % max(W, 1), _SENTINEL).astype(np.int32)
         starts.append(start)
-        maps.append((hrow.reshape(G, _GW), wcol.reshape(G, _GW)))
+        maps.append((hrow.reshape(G, gw), wcol.reshape(G, gw)))
         start += H * W
     return G, tuple(starts), tuple(maps)
 
@@ -148,7 +152,7 @@ def _prep_shapes(Lq):
 
 
 def _fold_inputs(value, sampling_locations, attention_weights, spatial_shapes,
-                 Lqp, G):
+                 Lqp, G, gw=_GW):
     """value → (BM, G·1024, D) flat-padded; (loc, aw) → ONE packed factor array
     (BM, Lqp, L·3P) f32, per-level columns [x·W−.5 (P) | y·H−.5 (P) | aw (P)]."""
     B, S, M, D = value.shape
@@ -156,7 +160,7 @@ def _fold_inputs(value, sampling_locations, attention_weights, spatial_shapes,
     L = len(spatial_shapes)
     BM = B * M
     vb = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
-    vb = jnp.pad(vb, [(0, 0), (0, G * _GW - S), (0, 0)])
+    vb = jnp.pad(vb, [(0, 0), (0, G * gw - S), (0, 0)])
     loc = sampling_locations.transpose(0, 2, 1, 3, 4, 5).reshape(
         BM, Lq, L, -1, 2).astype(jnp.float32)
     aw = attention_weights.transpose(0, 2, 1, 3, 4).reshape(
@@ -218,9 +222,9 @@ def _slice_maps(map_refs, lvl, g):
     return hrow, wcol
 
 
-def _active(span, g):
+def _active(span, g, gw=_GW):
     s_lo, s_hi = span
-    return (s_hi >= g * _GW) & (s_lo < (g + 1) * _GW)
+    return (s_hi >= g * gw) & (s_lo < (g + 1) * gw)
 
 
 def _tile_state(fref, ts, TQ, spatial_shapes, starts, P):
@@ -232,9 +236,9 @@ def _tile_state(fref, ts, TQ, spatial_shapes, starts, P):
     return facs, spans
 
 
-def _build_a(facs, spans, maps, g, TQ, P):
+def _build_a(facs, spans, maps, g, TQ, P, gw=_GW):
     """One (TQ, GW) A-tile for flat group g — levels under activation conds."""
-    a = jnp.zeros((TQ, _GW), jnp.float32)
+    a = jnp.zeros((TQ, gw), jnp.float32)
     for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
         def build(a, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy, aw=aw):
             hrow, wcol = _slice_maps(maps, lvl, g)
@@ -243,12 +247,13 @@ def _build_a(facs, spans, maps, g, TQ, P):
                 a = a + aw[:, p:p + 1] * (ty * tx)
             return a
 
-        a = jax.lax.cond(_active(spans[lvl], g), build, lambda a: a, a)
+        a = jax.lax.cond(_active(spans[lvl], g, gw), build, lambda a: a, a)
     return a
 
 
-def _any_hit(spans, g):
-    return functools.reduce(jnp.logical_or, [_active(s, g) for s in spans])
+def _any_hit(spans, g, gw=_GW):
+    return functools.reduce(jnp.logical_or,
+                            [_active(s, g, gw) for s in spans])
 
 
 def _fwd_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
@@ -265,13 +270,14 @@ def _fwd_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
 
         def group(g, acc):
             def dot(acc):
-                a = _build_a(facs, spans, maps, g, TQ, P)
-                rows = pl.multiple_of(g * _GW, _GW)
-                vblk = vref[0, pl.ds(rows, _GW), :].astype(a_dtype)
+                a = _build_a(facs, spans, maps, g, TQ, P, gw=_GW_FWD)
+                rows = pl.multiple_of(g * _GW_FWD, _GW_FWD)
+                vblk = vref[0, pl.ds(rows, _GW_FWD), :].astype(a_dtype)
                 return acc + jnp.dot(a.astype(a_dtype), vblk,
                                      preferred_element_type=jnp.float32)
 
-            return jax.lax.cond(_any_hit(spans, g), dot, lambda acc: acc, acc)
+            return jax.lax.cond(_any_hit(spans, g, _GW_FWD), dot,
+                                lambda acc: acc, acc)
 
         out_ref[0, pl.ds(ts, TQ), :] = jax.lax.fori_loop(
             0, G, group, jnp.zeros((TQ, D), jnp.float32)).astype(out_ref.dtype)
@@ -531,9 +537,9 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes):
     P = sampling_locations.shape[4]
     BM = B * M
     TQ, Lqp = _prep_shapes(Lq)
-    G, starts, maps = _plan(spatial_shapes)
+    G, starts, maps = _plan(spatial_shapes, _GW_FWD)
     vb, f = _fold_inputs(value, sampling_locations, attention_weights,
-                         spatial_shapes, Lqp, G)
+                         spatial_shapes, Lqp, G, gw=_GW_FWD)
 
     map_args, map_specs = _map_args(maps)
     out = pl.pallas_call(
@@ -541,7 +547,7 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes):
                           Lqp // TQ, P, value.dtype),
         grid=(BM,),
         in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
-        + [_full_spec(G * _GW, D)],
+        + [_full_spec(G * _GW_FWD, D)],
         out_specs=_full_spec(Lqp, D),
         out_shape=jax.ShapeDtypeStruct((BM, Lqp, D), value.dtype),
         interpret=_interpret(),

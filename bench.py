@@ -38,6 +38,11 @@ def main() -> None:
         from adaptersis_tpu.ops import msda_pallas
 
         msda_pallas.use_merged_bwd(True)
+    if os.environ.get("ASN_GW_FWD"):
+        from adaptersis_tpu.ops import msda_pallas
+
+        msda_pallas._GW_FWD = int(os.environ["ASN_GW_FWD"])
+        msda_pallas._plan.cache_clear()
 
     # persistent compilation cache: the matmul deformable-attention program takes
     # minutes to compile via this image's remote-compile tunnel; cache it so
@@ -57,7 +62,9 @@ def main() -> None:
                               attn_impl="flash", gelu_approx=True,
                               dtype=jnp.bfloat16)
     model = AdapterSegmentor(backbone=backbone, num_classes=2, n_last_blocks=4,
-                             msda_impl="pallas", dtype=jnp.bfloat16)
+                             msda_impl="pallas",
+                             batch_walks=os.environ.get("ASN_BATCH_WALKS", "1") != "0",
+                             dtype=jnp.bfloat16)
     trainer = Trainer(model, TrainerConfig(loss="dc", use_clahe=True),
                       mesh=get_mesh(fsdp=1))
 
