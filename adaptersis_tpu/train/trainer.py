@@ -51,6 +51,11 @@ class TrainerConfig:
     msda_impl: str = "gather"      # deformable-attention impl (model must match)
     # "none" | "imagenet_div255" (masktrans variant parity — data/augment.py)
     input_norm: str = "none"
+    # store the frozen backbone in the model's compute dtype (bf16 on TPU):
+    # numerically identical (flax casts params to `dtype` at every use anyway),
+    # halves the frozen tree's HBM and kills a per-step fp32→bf16 convert pass.
+    # pos_embed stays fp32 — vit.py:95 reads it back in fp32 for interpolation.
+    precast_frozen: bool = True
 
 
 class Trainer:
@@ -80,6 +85,15 @@ class Trainer:
             frozen = {}
         else:
             frozen = {"backbone": params.pop("backbone")}
+            cdt = getattr(self.model, "dtype", jnp.float32)
+            if self.cfg.precast_frozen and cdt != jnp.float32:
+                def cast(path, p):
+                    if p.dtype != jnp.float32 or any(
+                        getattr(k, "key", None) == "pos_embed" for k in path
+                    ):
+                        return p
+                    return p.astype(cdt)
+                frozen = jax.tree_util.tree_map_with_path(cast, frozen)
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
         state = {

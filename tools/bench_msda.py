@@ -77,7 +77,8 @@ if __name__ == "__main__":
     print(f"devices: {jax.devices()}")
     # ViT-L@588 geometry: ViT grid 42×42, encoder pyramid 73/37/19
     cnn_shapes = [(73, 73), (37, 37), (19, 19)]
-    for merged in (False, True):
+    modes = (True,) if "--merged-only" in sys.argv else (False, True)
+    for merged in modes:
         mp.use_merged_bwd(merged)
         print(f"--- merged_bwd={merged} ---")
         try:

@@ -38,7 +38,7 @@ def main():
                               dtype=jnp.bfloat16)
     model = AdapterSegmentor(
         backbone=backbone, num_classes=2, n_last_blocks=4, msda_impl="pallas",
-        batch_walks=os.environ.get("ASN_BATCH_WALKS", "1") != "0",
+        batch_walks=os.environ.get("ASN_BATCH_WALKS", "0") == "1",
         dtype=jnp.bfloat16)
     trainer = Trainer(model, TrainerConfig(loss="dc", use_clahe=True),
                       mesh=get_mesh(fsdp=1))
