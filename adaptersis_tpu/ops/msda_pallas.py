@@ -286,7 +286,7 @@ def _fwd_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
     jax.lax.fori_loop(0, nQ, tile, 0)
 
 
-def _bwd_dv_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
+def _bwd_dv_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, gw, *refs):
     """dV[group] += A_groupᵀ @ g — the whole per-(batch·head) dV block is
     VMEM-resident for the kernel's single grid step."""
     L = len(spatial_shapes)
@@ -303,14 +303,14 @@ def _bwd_dv_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
 
         def group(g, _):
             def scatter(_):
-                a = _build_a(facs, spans, maps, g, TQ, P)
-                rows = pl.multiple_of(g * _GW, _GW)
-                dvref[0, pl.ds(rows, _GW), :] += jax.lax.dot_general(
+                a = _build_a(facs, spans, maps, g, TQ, P, gw=gw)
+                rows = pl.multiple_of(g * gw, gw)
+                dvref[0, pl.ds(rows, gw), :] += jax.lax.dot_general(
                     a.astype(a_dtype), gb, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 return 0
 
-            return jax.lax.cond(_any_hit(spans, g), scatter, lambda _: 0, 0)
+            return jax.lax.cond(_any_hit(spans, g, gw), scatter, lambda _: 0, 0)
 
         jax.lax.fori_loop(0, G, group, 0)
         return 0
@@ -318,7 +318,7 @@ def _bwd_dv_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
     jax.lax.fori_loop(0, nQ, tile, 0)
 
 
-def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
+def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, gw, *refs):
     """dA formulation: ONE dot per active group (dA = g @ V'groupᵀ), then every
     (level, point, variant) gradient is an elementwise product with the
     bilinear factors followed by a full-lane reduce."""
@@ -339,8 +339,8 @@ def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
         def group(g, S):
             def run(S):
                 S = list(S)
-                rows = pl.multiple_of(g * _GW, _GW)
-                vblk = vref[0, pl.ds(rows, _GW), :].astype(a_dtype)
+                rows = pl.multiple_of(g * gw, gw)
+                vblk = vref[0, pl.ds(rows, gw), :].astype(a_dtype)
                 for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
                     def build(S3, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy):
                         S3 = list(S3)
@@ -367,12 +367,12 @@ def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
 
                     base = lvl * 3 * P
                     S3 = tuple(S[base:base + 3 * P])
-                    S3 = jax.lax.cond(_active(spans[lvl], g), build,
+                    S3 = jax.lax.cond(_active(spans[lvl], g, gw), build,
                                       lambda S3: tuple(S3), S3)
                     S[base:base + 3 * P] = list(S3)
                 return tuple(S)
 
-            return jax.lax.cond(_any_hit(spans, g), run, lambda S: tuple(S),
+            return jax.lax.cond(_any_hit(spans, g, gw), run, lambda S: tuple(S),
                                 tuple(S))
 
         S = jax.lax.fori_loop(
@@ -396,7 +396,7 @@ def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
 
 
 def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
-                       transposed, *refs):
+                       transposed, gw, *refs):
     """dq + dV in ONE kernel: the ty·tx variant tiles the dq gdots already
     build are reused to accumulate per-level A-tiles, and dV is accumulated
     inside each level's active branch — the separate dV kernel's whole factor
@@ -431,10 +431,10 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
         def group(g, S):
             def run(S):
                 S = list(S)
-                rows = pl.multiple_of(g * _GW, _GW)
-                vblk = (vref[0, :, pl.ds(rows, _GW)] if transposed
-                        else vref[0, pl.ds(rows, _GW), :]).astype(a_dtype)
-                a = jnp.zeros((TQ, _GW), a_dtype)
+                rows = pl.multiple_of(g * gw, gw)
+                vblk = (vref[0, :, pl.ds(rows, gw)] if transposed
+                        else vref[0, pl.ds(rows, gw), :]).astype(a_dtype)
+                a = jnp.zeros((TQ, gw), a_dtype)
                 for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
                     def build(carry, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
                               aw=aw):
@@ -465,22 +465,22 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
 
                     base = lvl * 3 * P
                     S3 = tuple(S[base:base + 3 * P])
-                    a, S3 = jax.lax.cond(_active(spans[lvl], g), build,
+                    a, S3 = jax.lax.cond(_active(spans[lvl], g, gw), build,
                                          lambda c: c, (a, S3))
                     S[base:base + 3 * P] = list(S3)
                 # ONE dV dot per active group, from the carried A-tile
                 if transposed:
-                    dv_ref[0, :, pl.ds(rows, _GW)] += jnp.dot(
+                    dv_ref[0, :, pl.ds(rows, gw)] += jnp.dot(
                         gbt, a, preferred_element_type=jnp.float32
                     ).astype(dv_ref.dtype)
                 else:
-                    dv_ref[0, pl.ds(rows, _GW), :] += jax.lax.dot_general(
+                    dv_ref[0, pl.ds(rows, gw), :] += jax.lax.dot_general(
                         a, gb, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32
                     ).astype(dv_ref.dtype)
                 return tuple(S)
 
-            return jax.lax.cond(_any_hit(spans, g), run, lambda S: tuple(S),
+            return jax.lax.cond(_any_hit(spans, g, gw), run, lambda S: tuple(S),
                                 tuple(S))
 
         S = jax.lax.fori_loop(
@@ -578,9 +578,10 @@ def _msda_bwd(spatial_shapes, res, grad):
                 sampling_locations.shape[4])
     BM = B * M
     TQ, Lqp = _prep_shapes(Lq)
-    G, starts, maps = _plan(spatial_shapes)
+    gw = _GW
+    G, starts, maps = _plan(spatial_shapes, gw)
     vb, f = _fold_inputs(value, sampling_locations, attention_weights,
-                         spatial_shapes, Lqp, G)
+                         spatial_shapes, Lqp, G, gw=gw)
     g = grad.reshape(B, Lq, M, D).transpose(0, 2, 1, 3).reshape(BM, Lq, D)
     # ship g (and the dq outputs) in value.dtype: halves the whole-Lqp VMEM
     # blocks on the bf16 path; the fp32 parity path is unchanged
@@ -596,16 +597,16 @@ def _msda_bwd(spatial_shapes, res, grad):
         if transposed:
             ins = [f, *map_args, vb.transpose(0, 2, 1), g, g.transpose(0, 2, 1)]
             in_specs = [_fspec(f.shape[1], Lqp)] + map_specs + [
-                _fspec(D, G * _GW), _full_spec(Lqp, D), _fspec(D, Lqp)]
-            dv_spec, dv_shape = _fspec(D, G * _GW), (BM, D, G * _GW)
+                _fspec(D, G * gw), _full_spec(Lqp, D), _fspec(D, Lqp)]
+            dv_spec, dv_shape = _fspec(D, G * gw), (BM, D, G * gw)
         else:
             ins = [f, *map_args, vb, g]
             in_specs = [_fspec(f.shape[1], Lqp)] + map_specs + [
-                _full_spec(G * _GW, D), _full_spec(Lqp, D)]
-            dv_spec, dv_shape = _full_spec(G * _GW, D), (BM, G * _GW, D)
+                _full_spec(G * gw, D), _full_spec(Lqp, D)]
+            dv_spec, dv_shape = _full_spec(G * gw, D), (BM, G * gw, D)
         dq, dv = pl.pallas_call(
             functools.partial(_bwd_merged_kernel, spatial_shapes, G, starts,
-                              TQd, Lqp // TQd, P, value.dtype, transposed),
+                              TQd, Lqp // TQd, P, value.dtype, transposed, gw),
             grid=(BM,),
             in_specs=in_specs,
             out_specs=[_fspec(3 * L * P, Lqp), dv_spec],
@@ -633,10 +634,10 @@ def _msda_bwd(spatial_shapes, res, grad):
                 daw.astype(attention_weights.dtype))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, spatial_shapes, G, starts, TQd,
-                          Lqp // TQd, P, value.dtype),
+                          Lqp // TQd, P, value.dtype, gw),
         grid=(BM,),
         in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
-        + [_full_spec(G * _GW, D), _full_spec(Lqp, D)],
+        + [_full_spec(G * gw, D), _full_spec(Lqp, D)],
         out_specs=_fspec(3 * L * P, Lqp),
         out_shape=jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), value.dtype),
         interpret=_interpret(),
@@ -648,12 +649,12 @@ def _msda_bwd(spatial_shapes, res, grad):
 
     dv = pl.pallas_call(
         functools.partial(_bwd_dv_kernel, spatial_shapes, G, starts, TQ,
-                          Lqp // TQ, P, value.dtype),
+                          Lqp // TQ, P, value.dtype, gw),
         grid=(BM,),
         in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
         + [_full_spec(Lqp, D)],
-        out_specs=_full_spec(G * _GW, D),
-        out_shape=jax.ShapeDtypeStruct((BM, G * _GW, D), jnp.float32),
+        out_specs=_full_spec(G * gw, D),
+        out_shape=jax.ShapeDtypeStruct((BM, G * gw, D), jnp.float32),
         interpret=_interpret(),
     )(f, *map_args, g)
 

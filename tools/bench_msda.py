@@ -19,7 +19,14 @@ import jax.numpy as jnp
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os  # noqa: E402
+
 import adaptersis_tpu.ops.msda_pallas as mp  # noqa: E402
+
+if os.environ.get("ASN_GW_BWD"):
+    mp._GW = int(os.environ["ASN_GW_BWD"])
+if os.environ.get("ASN_GW_FWD"):
+    mp._GW_FWD = int(os.environ["ASN_GW_FWD"])
 
 B, M, D, P = 16, 8, 128, 4   # the flagship MSDA geometry (d_value 1024 / 8 heads)
 REPS = 10
