@@ -66,8 +66,11 @@ def main():
     if not pbs:
         print("no xplane captured (tunnel may not support device tracing)")
         return
+    import re
+
     pd = jax.profiler.ProfileData.from_serialized_xspace(pbs[-1].read_bytes())
     agg = collections.Counter()
+    cnt = collections.Counter()
     total = 0.0
     for plane in pd.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
@@ -77,13 +80,35 @@ def main():
                 continue
             for ev in line.events:
                 dur = ev.duration_ns / 1e6
-                agg[ev.name[:80]] += dur
+                # canonicalize: drop the %, the .N instance index and the
+                # = ... detail so per-layer instances of the same op aggregate
+                name = ev.name.split(" = ")[0].lstrip("%")
+                name = re.sub(r"[.\d]+$", "", name)
+                agg[name] += dur
+                cnt[name] += 1
                 total += dur
     print(f"planes: {[p.name for p in pd.planes]}")
     print(f"total device op time over 3 steps: {total:.1f} ms "
-          f"({total / 3:.1f} ms/step)")
-    for name, ms in agg.most_common(40):
-        print(f"{ms / 3:9.2f} ms/step  {name}")
+          f"({total / 3:.1f} ms/step)  [async spans double-count]")
+    for name, ms in agg.most_common(45):
+        print(f"{ms / 3:9.2f} ms/step  x{cnt[name] // 3:<4d} {name}")
+
+    if os.environ.get("ASN_PROF_RAW"):
+        # top individual events matching a substring, full shapes
+        pat = os.environ["ASN_PROF_RAW"]
+        raw = collections.Counter()
+        for plane in pd.planes:
+            if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+                continue
+            for line in plane.lines:
+                if "Ops" not in line.name:
+                    continue
+                for ev in line.events:
+                    if pat in ev.name:
+                        raw[ev.name[:180]] += ev.duration_ns / 1e6
+        print(f"--- raw events matching {pat!r} ---")
+        for name, ms in raw.most_common(25):
+            print(f"{ms / 3:9.2f} ms/step  {name}")
 
 
 if __name__ == "__main__":
