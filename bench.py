@@ -20,6 +20,8 @@ import time
 import numpy as np
 
 A100_EST_IMG_S = 10.0  # see module docstring
+# ASN_BATCH overrides for headroom experiments; the recorded headline stays
+# the reference default bs16 (train.py:670) for recipe comparability
 BATCH = 16   # the reference default batch (train.py:670) — fits since the pallas MSDA kernel
 IMSIZE = 588
 STEPS = 10
@@ -30,6 +32,10 @@ def main() -> None:
     import os
 
     import jax
+
+    global BATCH
+    if os.environ.get("ASN_BATCH"):
+        BATCH = int(os.environ["ASN_BATCH"])
 
     # merged dq+dV MSDA backward (ops/msda_pallas.py): 104→90 ms/call on the
     # flagship CAViT geometry (needs the raised Mosaic vmem_limit the kernel
@@ -100,6 +106,15 @@ def main() -> None:
         float(loss)
         dt = time.perf_counter() - t0
         rates.append(batch * STEPS / dt / n_chips)
+
+    if os.environ.get("ASN_MEM"):
+        import sys
+
+        st = jax.local_devices()[0].memory_stats() or {}
+        peak = st.get("peak_bytes_in_use", 0)
+        lim = st.get("bytes_limit", 0)
+        print(f"peak HBM {peak / 2**30:.2f} GiB of {lim / 2**30:.2f} GiB",
+              file=sys.stderr)
 
     img_s_chip = sorted(rates)[len(rates) // 2]
     print(json.dumps({

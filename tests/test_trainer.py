@@ -136,3 +136,37 @@ def test_torch_sgd_semantics():
         updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + 0.01 * u, params, updates)
     np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-6, atol=1e-7)
+
+
+def test_precast_frozen_bf16():
+    """precast_frozen stores the frozen backbone in the compute dtype
+    (trainer.py init_state): identical step numerics (flax casts params at
+    every use anyway), pos_embed kept fp32 for the interpolation read
+    (vit.py:95)."""
+    imgs, masks = make_batch(4)
+    rng = jax.random.PRNGKey(0)
+
+    def bf16_trainer(precast):
+        backbone = DinoVisionTransformer(img_size=56, patch_size=14,
+                                         embed_dim=64, depth=5, num_heads=4,
+                                         dtype=jnp.bfloat16)
+        model = AdapterSegmentor(backbone=backbone, num_classes=2,
+                                 n_last_blocks=4, dtype=jnp.bfloat16)
+        mesh = get_mesh(devices=jax.devices()[:1], fsdp=1)
+        return Trainer(model, TrainerConfig(use_clahe=False,
+                                            precast_frozen=precast), mesh=mesh)
+
+    t_pc = bf16_trainer(True)
+    s_pc = t_pc.init_state((imgs, masks))
+    dtypes = {p[-1].key: l.dtype
+              for p, l in jax.tree_util.tree_leaves_with_path(s_pc["frozen"])}
+    assert dtypes.pop("pos_embed") == jnp.dtype(jnp.float32)
+    assert set(dtypes.values()) == {jnp.dtype(jnp.bfloat16)}
+
+    t_ref = bf16_trainer(False)
+    s_ref = t_ref.init_state((imgs, masks))
+    _, loss_pc = t_pc.train_step(s_pc, imgs, masks, rng, epoch=0)
+    _, loss_ref = t_ref.train_step(s_ref, imgs, masks, rng, epoch=0)
+    # same bf16 compute path: the only delta is where the fp32→bf16 round
+    # happens, which is value-identical for params already representable
+    np.testing.assert_allclose(float(loss_pc), float(loss_ref), atol=2e-3)
