@@ -199,6 +199,11 @@ def _corner_span(x0, y0, H, W, start):
 def _factors_t(hrow, wcol, x0, fx, y0, fy, p, grad, dtype=jnp.float32):
     """tx/ty bilinear one-hot factors on the (TQ, 1024) flat-lane tile for
     point p; out-of-range corners match no map entry (zero padding)."""
+    # NOTE (measured, don't retry): building these tiles natively in bf16
+    # (mask-cast multiplies, since Mosaic can't relayout i1 masks for 16-bit
+    # broadcast-column selects) is ~10% SLOWER than f32 where-selects with a
+    # cast at the end — the v5e VPU runs bf16 at fp32 rate plus pack overhead,
+    # so the build is op-issue-bound, not VMEM-traffic-bound.
     x0p = x0[:, p:p + 1]
     fxp = fx[:, p:p + 1]
     y0p = y0[:, p:p + 1]
@@ -503,7 +508,119 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     jax.lax.fori_loop(0, nQ, tile, 0)
 
 
+def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
+                             transposed, gw, *refs):
+    """u-form merged backward: ONE u = g @ Vᵀ dot per (group, tile) replaces
+    the 3·P-stacked variant dot per (group, level).
+
+    Identity: every dq scalar is r = Σ_t T[q,t]·u[q,t] with T a variant tile
+    and u[q,t] = Σ_d g[q,d]·V[t,d] — so after the single u dot, daw/dx/dy are
+    pure VPU multiply-reduces against the (already built) factor tiles. Dot
+    count per group drops from 1+L_active to 2 (u and dV); the trade is 3·P
+    full-lane (TQ, gw) reduces per active level on the VPU."""
+    L = len(spatial_shapes)
+    fref = refs[0]
+    maps = refs[1:1 + 2 * L]
+    vref = refs[1 + 2 * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[2 + 2 * L]       # (1, Lqp, D)
+    if transposed:
+        gtref = refs[3 + 2 * L]  # (1, D, Lqp)
+        dq_ref = refs[4 + 2 * L]
+        dv_ref = refs[5 + 2 * L]  # (1, D, G·GW)
+    else:
+        dq_ref = refs[3 + 2 * L]
+        dv_ref = refs[4 + 2 * L]  # (1, G·GW, D)
+    dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    def tile(qt, _):
+        ts = pl.multiple_of(qt * TQ, TQ)
+        facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
+        gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)        # (TQ, D)
+        gbt = (gtref[0, :, pl.ds(ts, TQ)].astype(a_dtype)     # (D, TQ)
+               if transposed else None)
+
+        def group(g, S):
+            def run(S):
+                S = list(S)
+                rows = pl.multiple_of(g * gw, gw)
+                vblk = (vref[0, :, pl.ds(rows, gw)] if transposed
+                        else vref[0, pl.ds(rows, gw), :]).astype(a_dtype)
+                if transposed:   # (TQ,D)@(D,gw)
+                    u = jax.lax.dot_general(
+                        gb, vblk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:            # (TQ,D)@(gw,D)ᵀ — lane-contraction form
+                    u = jax.lax.dot_general(
+                        gb, vblk, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                a = jnp.zeros((TQ, gw), a_dtype)
+                for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
+                    def build(carry, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
+                              aw=aw):
+                        a, S3 = carry
+                        S3 = list(S3)
+                        hrow, wcol = _slice_maps(maps, lvl, g)
+                        for p in range(P):
+                            tx, ty, dtx, dty = _factors_t(
+                                hrow, wcol, x0, fx, y0, fy, p, True)
+                            c = ty * tx
+                            a = a + (aw[:, p:p + 1] * c).astype(a_dtype)
+                            uy = u * ty
+                            S3[p] = S3[p] + jnp.sum(
+                                u * c, axis=1, keepdims=True)
+                            S3[P + p] = S3[P + p] + jnp.sum(
+                                uy * dtx, axis=1, keepdims=True)
+                            S3[2 * P + p] = S3[2 * P + p] + jnp.sum(
+                                (u * dty) * tx, axis=1, keepdims=True)
+                        return a, tuple(S3)
+
+                    base = lvl * 3 * P
+                    S3 = tuple(S[base:base + 3 * P])
+                    a, S3 = jax.lax.cond(_active(spans[lvl], g, gw), build,
+                                         lambda c: c, (a, S3))
+                    S[base:base + 3 * P] = list(S3)
+                if transposed:
+                    dv_ref[0, :, pl.ds(rows, gw)] += jnp.dot(
+                        gbt, a, preferred_element_type=jnp.float32
+                    ).astype(dv_ref.dtype)
+                else:
+                    dv_ref[0, pl.ds(rows, gw), :] += jax.lax.dot_general(
+                        a, gb, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ).astype(dv_ref.dtype)
+                return tuple(S)
+
+            return jax.lax.cond(_any_hit(spans, g, gw), run, lambda S: tuple(S),
+                                tuple(S))
+
+        S = jax.lax.fori_loop(
+            0, G, group,
+            tuple(jnp.zeros((TQ, 1), jnp.float32) for _ in range(3 * P * L)))
+        dxs, dys, das = [], [], []
+        for lvl, (H, W) in enumerate(spatial_shapes):
+            aw = facs[lvl][4]
+            base = lvl * 3 * P
+            da = jnp.concatenate([S[base + p] for p in range(P)], axis=1)
+            dx = jnp.concatenate([S[base + P + p] for p in range(P)], axis=1)
+            dy = jnp.concatenate([S[base + 2 * P + p] for p in range(P)], axis=1)
+            das.append(da)
+            dxs.append(dx * aw * W)
+            dys.append(dy * aw * H)
+        dq_ref[0, :, pl.ds(ts, TQ)] = jnp.concatenate(
+            dxs + dys + das, axis=1).T.astype(dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nQ, tile, 0)
+
+
 _MERGED_BWD = False
+_UFORM_BWD = False
+_TQ_BWD = 0      # optional bwd query-tile override (must divide Lqp)
+
+
+def use_uform_bwd(on: bool) -> None:
+    global _UFORM_BWD
+    _UFORM_BWD = on
 
 
 def use_merged_bwd(on: bool) -> None:
@@ -592,6 +709,8 @@ def _msda_bwd(spatial_shapes, res, grad):
     # when TQ is large (lane-sliced factor reads need 128-multiples, so never
     # below 128; tiny interpret-mode shapes keep TQ as-is)
     TQd = TQ if TQ <= 128 else max(128, TQ // 2)
+    if _TQ_BWD and Lqp % _TQ_BWD == 0:
+        TQd = _TQ_BWD
     if _MERGED_BWD:
         transposed = D % 128 != 0
         if transposed:
@@ -604,8 +723,9 @@ def _msda_bwd(spatial_shapes, res, grad):
             in_specs = [_fspec(f.shape[1], Lqp)] + map_specs + [
                 _full_spec(G * gw, D), _full_spec(Lqp, D)]
             dv_spec, dv_shape = _full_spec(G * gw, D), (BM, G * gw, D)
+        kern = _bwd_merged_uform_kernel if _UFORM_BWD else _bwd_merged_kernel
         dq, dv = pl.pallas_call(
-            functools.partial(_bwd_merged_kernel, spatial_shapes, G, starts,
+            functools.partial(kern, spatial_shapes, G, starts,
                               TQd, Lqp // TQd, P, value.dtype, transposed, gw),
             grid=(BM,),
             in_specs=in_specs,

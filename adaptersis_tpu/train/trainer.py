@@ -36,6 +36,20 @@ from ..parallel.mesh import fsdp_shard_params, get_mesh, replicate_tree, shard_b
 from .schedules import cosine_annealing
 
 
+def _xla_opts() -> Optional[Dict[str, str]]:
+    """Optional XLA compiler-option overrides for the fused train step.
+
+    ASN_XLA_OPTS="flag=val;flag=val" — forwarded as PJRT compiler_options
+    (local XLA_FLAGS parsing rejects TPU flags on this image; options passed
+    at compile time travel with the remote-compile request instead)."""
+    import os
+
+    raw = os.environ.get("ASN_XLA_OPTS", "")
+    if not raw:
+        return None
+    return dict(kv.split("=", 1) for kv in raw.split(";") if "=" in kv)
+
+
 @dataclass
 class TrainerConfig:
     lr: float = 0.01
@@ -162,6 +176,7 @@ class Trainer:
             step,
             in_shardings=(None, data_sh, data_sh, rep, rep),
             donate_argnums=(0,),
+            compiler_options=_xla_opts(),
         )
 
     def _build_eval_step(self):

@@ -49,6 +49,10 @@ def main() -> None:
 
         msda_pallas._GW_FWD = int(os.environ["ASN_GW_FWD"])
         msda_pallas._plan.cache_clear()
+    if os.environ.get("ASN_MSDA_UFORM", "1") != "0":
+        from adaptersis_tpu.ops import msda_pallas
+
+        msda_pallas.use_uform_bwd(True)
 
     # persistent compilation cache: the matmul deformable-attention program takes
     # minutes to compile via this image's remote-compile tunnel; cache it so

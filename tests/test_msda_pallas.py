@@ -79,6 +79,41 @@ def test_merged_bwd_matches_split(shapes, Lq, D):
                                    rtol=1e-5, atol=1e-5, err_msg=f"grad {i}")
 
 
+@pytest.mark.parametrize("shapes,Lq,D", [
+    ([(8, 8), (4, 4), (2, 2)], 9, 8),    # D<128 → transposed v/dV layout
+    ([(40, 37)], 20, 8),
+    ([(8, 8), (4, 4)], 9, 128),          # D=128 → natural layout, no gT
+])
+def test_uform_bwd_matches_split(shapes, Lq, D):
+    """The u-form merged backward (one u = g·Vᵀ dot per group; dq scalars as
+    VPU multiply-reduces) must match the split backward. u is a dot-product
+    reassociation of the split path's per-variant dots, so fp32 tolerances
+    are loose-ish (1e-4) rather than bit-tight."""
+    rng = np.random.default_rng(7)
+    L = len(shapes)
+    B, M, P = 2, 2, 4
+    S = sum(h * w for h, w in shapes)
+    v = jnp.asarray(rng.standard_normal((B, S, M, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (B, Lq, M, L, P, 2)), jnp.float32)
+    aw = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, L, P)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, Lq, M * D)), jnp.float32)
+
+    def loss(v_, l_, w_):
+        return (mp.msda_pallas(v_, l_, w_, tuple(shapes)) * t).sum()
+
+    g_split = jax.grad(loss, argnums=(0, 1, 2))(v, loc, aw)
+    mp.use_merged_bwd(True)
+    mp.use_uform_bwd(True)
+    try:
+        g_uform = jax.grad(loss, argnums=(0, 1, 2))(v, loc, aw)
+    finally:
+        mp.use_merged_bwd(False)
+        mp.use_uform_bwd(False)
+    for i, (x, y) in enumerate(zip(g_split, g_uform)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"grad {i}")
+
+
 def test_pallas_module_dispatch_matches_gather():
     from adaptersis_tpu.models.adapters import get_reference_points
     from adaptersis_tpu.ops.ms_deform_attn import MSDeformAttn

@@ -27,6 +27,10 @@ if os.environ.get("ASN_GW_BWD"):
     mp._GW = int(os.environ["ASN_GW_BWD"])
 if os.environ.get("ASN_GW_FWD"):
     mp._GW_FWD = int(os.environ["ASN_GW_FWD"])
+if os.environ.get("ASN_MSDA_UFORM") == "1":
+    mp.use_uform_bwd(True)
+if os.environ.get("ASN_TQ_BWD"):
+    mp._TQ_BWD = int(os.environ["ASN_TQ_BWD"])
 
 B, M, D, P = 16, 8, 128, 4   # the flagship MSDA geometry (d_value 1024 / 8 heads)
 REPS = 10
