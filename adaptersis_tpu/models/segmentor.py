@@ -68,6 +68,14 @@ class AdapterSegmentor(nn.Module):
     # segment-id masking in the packed flash layers costs more than the halved
     # per-layer dispatch saves) — default off, kept for smaller batches/seqs.
     batch_walks: bool = False
+    # run each frozen walk pre-padded to a 128-multiple token count with
+    # persistent validity segment-ids, instead of letting every flash-attention
+    # call pad 1765→1792 and slice back per layer (~3 pads + 1 slice × 48
+    # block applications/step). Identical numerics: pad rows live in their own
+    # attention segment and every consumer slices them off. None = auto (on
+    # exactly when the backbone runs the flash kernel and has no windowed
+    # blocks, which bypass segment-ids).
+    pad_walks: Optional[bool] = None
     encoder_inplanes: int = 64           # FeatureEncoder width (ref encoders.py:5)
     decoder_features: Optional[Sequence[int]] = None  # ref decoders.py:93 default
     dtype: Dtype = jnp.float32
@@ -126,6 +134,29 @@ class AdapterSegmentor(nn.Module):
         tokens, _ = self.backbone.embed(x, with_pos_cls=True)
         tap_idx = list(range(depth - n, depth))
         stop = depth - (n - 1)          # exclusive end of the shared prefix
+
+        use_pad_walks = self.pad_walks
+        if use_pad_walks is None:
+            use_pad_walks = (self.backbone.attn_impl == "flash"
+                             and not any(self.backbone.window_attn or []))
+        use_pad_walks = use_pad_walks and not self.batch_walks
+
+        def _pad128(t: jax.Array):
+            """Pad tokens to the next 128 multiple; ids mark real rows (1) vs
+            pad rows (0) so attention stays block-diagonal — the hoisted form
+            of layers._sdpa_flash's own per-call padding."""
+            N = t.shape[1]
+            Np = -(-N // 128) * 128
+            if Np == N:
+                return t, None
+            seg = jnp.broadcast_to(
+                (jnp.arange(Np) < N).astype(jnp.int32)[None], (t.shape[0], Np))
+            return jnp.pad(t, ((0, 0), (0, Np - N), (0, 0))), seg
+
+        def _run_padded(t: jax.Array, start: int, end: int) -> jax.Array:
+            tp, seg = _pad128(t)
+            return self.backbone.run_blocks(tp, start, end,
+                                            segment_ids=seg)[:, :t.shape[1]]
         if self.batch_walks and stop > 0:
             # both walks run blocks 0..depth-n on the same images → ONE
             # 2B-batch walk for the shared prefix. The adapter stream has one
@@ -147,6 +178,13 @@ class AdapterSegmentor(nn.Module):
             for i in range(stop, depth):
                 clean = self.backbone.run_blocks(clean, i, i + 1)
                 raw_taps.append(clean)
+        elif use_pad_walks:
+            tokens_p, seg_c = _pad128(tokens)
+            raw_taps = [t[:, :tokens.shape[1]] for t in
+                        self.backbone.collect_block_outputs(
+                            tokens_p, tap_idx, segment_ids=seg_c)]
+            xa0, _ = self.backbone.embed(x, with_pos_cls=False)
+            xa = sg(_run_padded(xa0, 0, stop))
         else:
             raw_taps = self.backbone.collect_block_outputs(tokens, tap_idx)
             # ---- adapter re-walk: no cls, no pos embed (train.py:300-301) ----
@@ -160,7 +198,10 @@ class AdapterSegmentor(nn.Module):
                 blk_i = depth - n + r
                 if self.mla_last_block_bug and r == n - 1:
                     blk_i = depth - 2  # train_mla.py:339-341 re-runs blocks[-2:-1]
-                xa = sg(self.backbone.run_blocks(xa, blk_i, blk_i + 1))
+                if use_pad_walks:
+                    xa = sg(_run_padded(xa, blk_i, blk_i + 1))
+                else:
+                    xa = sg(self.backbone.run_blocks(xa, blk_i, blk_i + 1))
             xa = self.cross_vit(xa, ref1, c, shapes1)
             c = self.cross_cnn(c, ref2, xa, shapes2, query_level_shapes=shapes1)
             xa = xa + taps[r]

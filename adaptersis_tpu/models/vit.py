@@ -169,15 +169,16 @@ class DinoVisionTransformer(nn.Module):
                 {"x_norm_clstoken": xl[:, 0], "x_norm_patchtokens": xl[:, 1 + r:]})
 
     def collect_block_outputs(self, x: jax.Array, taps: Sequence[int], remat_untapped: bool = False,
-                              hw: Optional[Tuple[int, int]] = None) -> List[jax.Array]:
+                              hw: Optional[Tuple[int, int]] = None,
+                              segment_ids: Optional[jax.Array] = None) -> List[jax.Array]:
         """Run all blocks, returning the (un-normed) outputs of block indices `taps`."""
         out = []
         want = set(taps)
         for i, blk in enumerate(self.blocks):
             if remat_untapped and i not in want:
-                x = nn.remat(lambda m, y: m(y, hw=hw))(blk, x)
+                x = nn.remat(lambda m, y: m(y, hw=hw, segment_ids=segment_ids))(blk, x)
             else:
-                x = blk(x, hw=hw)
+                x = blk(x, hw=hw, segment_ids=segment_ids)
             if i in want:
                 out.append(x)
         return out

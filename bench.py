@@ -71,9 +71,13 @@ def main() -> None:
     backbone = build_backbone("vit_large", img_size=518, patch_size=14,
                               attn_impl="flash", gelu_approx=True,
                               dtype=jnp.bfloat16)
+    # pad_walks default None = auto-on with flash attention (walks pre-padded
+    # to 1792 tokens once instead of per-layer pad/slice); ASN_PAD_WALKS=0 A/Bs
+    pw = os.environ.get("ASN_PAD_WALKS")
     model = AdapterSegmentor(backbone=backbone, num_classes=2, n_last_blocks=4,
                              msda_impl="pallas",
                              batch_walks=os.environ.get("ASN_BATCH_WALKS", "0") == "1",
+                             pad_walks=None if pw is None else pw != "0",
                              dtype=jnp.bfloat16)
     trainer = Trainer(model, TrainerConfig(loss="dc", use_clahe=True),
                       mesh=get_mesh(fsdp=1))

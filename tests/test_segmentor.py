@@ -142,3 +142,26 @@ def test_batched_walks_match_unbatched():
         variables = m.init(jax.random.PRNGKey(0), x)
         outs[batched] = np.asarray(m.apply(variables, x))
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-5, atol=1e-5)
+
+
+def test_pad_walks_match_unpadded():
+    """pad_walks=True (walks pre-padded to a 128-multiple token count with
+    validity segment-ids — the hoisted form of the flash kernel's per-call
+    padding) must be numerically identical to the default path. On CPU the
+    segment-ids route through the masked-einsum SDPA."""
+    import numpy as np
+
+    from adaptersis_tpu.models.segmentor import AdapterSegmentor
+    from adaptersis_tpu.models.vit import DinoVisionTransformer
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 112, 112, 3)), jnp.float32)
+    outs = {}
+    for padded in (False, True):
+        bb = DinoVisionTransformer(img_size=112, patch_size=14, embed_dim=32,
+                                   depth=5, num_heads=2)
+        m = AdapterSegmentor(backbone=bb, num_classes=2, n_last_blocks=4,
+                             pad_walks=padded)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        outs[padded] = np.asarray(m.apply(variables, x))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-5, atol=1e-5)
