@@ -25,7 +25,41 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.layernorm import fused_layernorm
+
 Dtype = Any
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in for nn.LayerNorm (same param tree: scale/bias fp32) backed by the
+    one-pass Pallas kernel (ops/layernorm.py). Geometries the kernel can't tile
+    (feature dim not a lane multiple) fall back to plain XLA math."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        x = x.astype(self.dtype)
+        if C % 128 == 0:
+            return fused_layernorm(x, scale, bias, self.epsilon)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
+def layer_norm(ln_impl: str, dtype: Dtype, name: str,
+               epsilon: float = 1e-6) -> nn.Module:
+    """nn.LayerNorm or the fused Pallas kernel, same param tree either way."""
+    if ln_impl == "pallas":
+        return FusedLayerNorm(epsilon=epsilon, dtype=dtype, name=name)
+    return nn.LayerNorm(epsilon=epsilon, dtype=dtype, param_dtype=jnp.float32,
+                        name=name)
 
 
 def trunc_normal_init(stddev: float = 0.02):
@@ -279,6 +313,7 @@ class Block(nn.Module):
     windowed: bool = False       # m2f windowed-ViT block (backbones/vit.py:324-384)
     window_size: int = 14
     gelu_approx: bool = False    # tanh GELU (see Mlp)
+    ln_impl: str = "xla"         # "xla" | "pallas" (ops/layernorm.py fused kernel)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -291,7 +326,7 @@ class Block(nn.Module):
                 return y
             return LayerScale(self.dim, self.init_values, name=name)(y)
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        h = layer_norm(self.ln_impl, self.dtype, "norm1")(x)
         if return_attention:
             # attention-map hook for visualization (root vision_transformer.py:80-92)
             _, attn = Attention(self.num_heads, dtype=self.dtype, name="attn")(h, return_attn=True)
@@ -301,7 +336,7 @@ class Block(nn.Module):
                       dtype=self.dtype, name="attn")(h, hw=hw,
                                                      segment_ids=segment_ids)
         x = x + ls("ls1", h)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        h = layer_norm(self.ln_impl, self.dtype, "norm2")(x)
         if self.ffn_layer == "swiglufused":
             h = SwiGLUFFNFused(self.dim, dtype=self.dtype, name="mlp")(h)
         elif self.ffn_layer == "mlp":

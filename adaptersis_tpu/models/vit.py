@@ -29,7 +29,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.resize import resize_bicubic
-from .layers import Block, PatchEmbed, trunc_normal_init
+from .layers import Block, PatchEmbed, layer_norm, trunc_normal_init
 
 Dtype = Any
 
@@ -52,6 +52,10 @@ class DinoVisionTransformer(nn.Module):
     window_attn: Optional[Sequence[bool]] = None
     window_size: int = 14
     gelu_approx: bool = False    # tanh GELU (layers.Mlp) — TPU perf opt-in
+    # "xla" | "pallas" — fused one-pass LayerNorm kernel (ops/layernorm.py);
+    # the frozen walks apply ~100 LNs/step, each ~1.2 ms as XLA convert_reduce
+    # fusions at the flagship (28672, 1024) shape vs ~0.15 ms HBM-bound
+    ln_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -78,12 +82,13 @@ class DinoVisionTransformer(nn.Module):
                 windowed=bool(wa[i]),
                 window_size=self.window_size,
                 gelu_approx=self.gelu_approx,
+                ln_impl=self.ln_impl,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )
             for i in range(self.depth)
         ]
-        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm")
+        self.norm = layer_norm(self.ln_impl, self.dtype, "norm")
 
     # ---- pieces (used by the adapter segmentor to build one fused program) ----
 

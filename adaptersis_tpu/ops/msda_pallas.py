@@ -54,6 +54,7 @@ all accumulations are fp32.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -517,7 +518,15 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     and u[q,t] = Σ_d g[q,d]·V[t,d] — so after the single u dot, daw/dx/dy are
     pure VPU multiply-reduces against the (already built) factor tiles. Dot
     count per group drops from 1+L_active to 2 (u and dV); the trade is 3·P
-    full-lane (TQ, gw) reduces per active level on the VPU."""
+    full-lane (TQ, gw) reduces per active level on the VPU.
+
+    _REDUCE_DOT: a Mosaic lane-reduce (jnp.sum over the gw axis) costs ~10-20×
+    a plain VPU pass — the 3·P reduces per (group, level) dominate this kernel
+    (profiled: CAViT merged bwd 80 ms/call ≈ 4.3× its fwd, far above the pass
+    count's prediction). With the flag on, the 3·P product tiles instead ride
+    ONE M-stacked MXU dot against a ones tile (lane-contraction A@Bᵀ form, in
+    a_dtype like every other contraction here), turning 12 lane-reduces into
+    one ~2 µs dot per (group, level)."""
     L = len(spatial_shapes)
     fref = refs[0]
     maps = refs[1:1 + 2 * L]
@@ -545,7 +554,10 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                 rows = pl.multiple_of(g * gw, gw)
                 vblk = (vref[0, :, pl.ds(rows, gw)] if transposed
                         else vref[0, pl.ds(rows, gw), :]).astype(a_dtype)
-                if transposed:   # (TQ,D)@(D,gw)
+                if _ABLATE == "noudot":
+                    u = jnp.broadcast_to(gb[:, 0:1].astype(jnp.float32),
+                                         (gb.shape[0], gw))
+                elif transposed:   # (TQ,D)@(D,gw)
                     u = jax.lax.dot_general(
                         gb, vblk, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -560,18 +572,47 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                         a, S3 = carry
                         S3 = list(S3)
                         hrow, wcol = _slice_maps(maps, lvl, g)
+                        prods = []
                         for p in range(P):
                             tx, ty, dtx, dty = _factors_t(
-                                hrow, wcol, x0, fx, y0, fy, p, True)
+                                hrow, wcol, x0, fx, y0, fy, p,
+                                _ABLATE != "nogradfac")
                             c = ty * tx
                             a = a + (aw[:, p:p + 1] * c).astype(a_dtype)
+                            if _ABLATE == "nogradfac":
+                                S3[p] = S3[p] + (u * c)[:, 0:1]
+                                continue
+                            if _ABLATE == "noreduce":
+                                uy = u * ty
+                                S3[p] = S3[p] + (u * c)[:, 0:1]
+                                S3[P + p] = S3[P + p] + (uy * dtx)[:, 0:1]
+                                S3[2 * P + p] = (S3[2 * P + p]
+                                                 + ((u * dty) * tx)[:, 0:1])
+                                continue
                             uy = u * ty
+                            if _REDUCE_DOT:
+                                prods += [(u * c).astype(a_dtype),
+                                          (uy * dtx).astype(a_dtype),
+                                          ((u * dty) * tx).astype(a_dtype)]
+                                continue
                             S3[p] = S3[p] + jnp.sum(
                                 u * c, axis=1, keepdims=True)
                             S3[P + p] = S3[P + p] + jnp.sum(
                                 uy * dtx, axis=1, keepdims=True)
                             S3[2 * P + p] = S3[2 * P + p] + jnp.sum(
                                 (u * dty) * tx, axis=1, keepdims=True)
+                        if _REDUCE_DOT:
+                            stacked = jnp.concatenate(prods, axis=0)
+                            ones = jnp.ones((128, gw), a_dtype)
+                            s = jax.lax.dot_general(
+                                stacked, ones, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                            TQl = stacked.shape[0] // (3 * P)
+                            for p in range(P):
+                                for j in range(3):
+                                    r = (p * 3 + j) * TQl
+                                    S3[j * P + p] = (S3[j * P + p]
+                                                     + s[r:r + TQl, 0:1])
                         return a, tuple(S3)
 
                     base = lvl * 3 * P
@@ -579,7 +620,9 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                     a, S3 = jax.lax.cond(_active(spans[lvl], g, gw), build,
                                          lambda c: c, (a, S3))
                     S[base:base + 3 * P] = list(S3)
-                if transposed:
+                if _ABLATE == "nodv":
+                    pass
+                elif transposed:
                     dv_ref[0, :, pl.ds(rows, gw)] += jnp.dot(
                         gbt, a, preferred_element_type=jnp.float32
                     ).astype(dv_ref.dtype)
@@ -615,7 +658,16 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
 
 _MERGED_BWD = False
 _UFORM_BWD = False
+_REDUCE_DOT = False  # u-form: lane-reduces as ONE stacked MXU ones-dot
+# dev-only timing ablations for the u-form merged kernel (WRONG numerics):
+# "noreduce" | "nogradfac" | "nodv" | "noudot" — isolate each cost component
+_ABLATE = os.environ.get("ASN_MSDA_ABLATE", "")
 _TQ_BWD = 0      # optional bwd query-tile override (must divide Lqp)
+
+
+def use_reduce_dot(on: bool) -> None:
+    global _REDUCE_DOT
+    _REDUCE_DOT = on
 
 
 def use_uform_bwd(on: bool) -> None:

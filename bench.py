@@ -68,8 +68,13 @@ def main() -> None:
     n_chips = jax.device_count()
     # gelu_approx: tanh GELU in the frozen walks — measured 6.45→4.72 ms/layer
     # MLP on v5e (erf is transcendental-bound); |Δ| < 1e-3, below bf16 noise
+    # ln_impl stays "xla": the profile shows XLA already mega-fuses each walk
+    # LN INTO the adjacent MLP matmul fusion (one 2.68 ms kOutput fusion spans
+    # fc1+gelu+fc2+residual+next-LN stats); a pallas LN would break that. The
+    # fused kernel (ops/layernorm.py) wins only standalone (0.075 vs 0.097 ms).
     backbone = build_backbone("vit_large", img_size=518, patch_size=14,
                               attn_impl="flash", gelu_approx=True,
+                              ln_impl=os.environ.get("ASN_LN", "xla"),
                               dtype=jnp.bfloat16)
     # pad_walks default None = auto-on with flash attention (walks pre-padded
     # to 1792 tokens once instead of per-layer pad/slice); ASN_PAD_WALKS=0 A/Bs
