@@ -656,6 +656,154 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     jax.lax.fori_loop(0, nQ, tile, 0)
 
 
+def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
+                              transposed, gw, *refs):
+    """Corner-gather merged backward — the structural successor to the u-form.
+
+    Every dq scalar only needs u = g·Vᵀ at the point's FOUR bilinear corners:
+        daw = Σ_ij w_ij·u[y0+i, x0+j]   dx = Σ_i ty_i·(u[·,x0+1]−u[·,x0])  …
+    so instead of building dtx/dty variant tiles and lane-reducing 3·P product
+    tiles per (group, level) — measured ~46 of CAViT's ~65 ms bwd — this
+    kernel row-masks u by the two corner ROWS (p0 = u·[hrow==y0], one select
+    each), contracts ALL 2·P masked tiles against a constant column one-hot
+    C_wᵀ[w,t] = [wcol[t]==w] in ONE M-stacked MXU dot (A@Bᵀ lane-contraction
+    form), and reads the four corner values with per-row dynamic gathers on
+    the resulting (TQ, 128) tiles — a SINGLE 128-lane vreg, which Mosaic's
+    gather supports (the cross-vreg case is the documented dead end).
+
+    Eligibility: every level width ≤ 126 so out-of-range corner columns can be
+    redirected to the guaranteed-zero lane 127 (flagship widths: 73/37/19/42).
+    The wrapper falls back to the u-form kernel otherwise."""
+    L = len(spatial_shapes)
+    fref = refs[0]
+    maps = refs[1:1 + 2 * L]
+    vref = refs[1 + 2 * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[2 + 2 * L]       # (1, Lqp, D)
+    if transposed:
+        gtref = refs[3 + 2 * L]  # (1, D, Lqp)
+        dq_ref = refs[4 + 2 * L]
+        dv_ref = refs[5 + 2 * L]  # (1, D, G·GW)
+    else:
+        dq_ref = refs[3 + 2 * L]
+        dv_ref = refs[4 + 2 * L]  # (1, G·GW, D)
+    dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    def tile(qt, _):
+        ts = pl.multiple_of(qt * TQ, TQ)
+        facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
+        gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)        # (TQ, D)
+        gbt = (gtref[0, :, pl.ds(ts, TQ)].astype(a_dtype)     # (D, TQ)
+               if transposed else None)
+
+        def group(g, S):
+            def run(S):
+                S = list(S)
+                rows = pl.multiple_of(g * gw, gw)
+                vblk = (vref[0, :, pl.ds(rows, gw)] if transposed
+                        else vref[0, pl.ds(rows, gw), :]).astype(a_dtype)
+                if transposed:   # (TQ,D)@(D,gw)
+                    u = jax.lax.dot_general(
+                        gb, vblk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:            # (TQ,D)@(gw,D)ᵀ — lane-contraction form
+                    u = jax.lax.dot_general(
+                        gb, vblk, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                ub = u.astype(a_dtype)
+                a = jnp.zeros((TQ, gw), a_dtype)
+                for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
+                    def build(carry, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
+                              aw=aw):
+                        a, S3 = carry
+                        S3 = list(S3)
+                        hrow, wcol = _slice_maps(maps, lvl, g)
+                        wids = jax.lax.broadcasted_iota(
+                            jnp.int32, (128, gw), 0)
+                        cwt = jnp.where(wids == wcol, 1.0, 0.0).astype(a_dtype)
+                        ps = []
+                        for p in range(P):
+                            tx, ty, _, _ = _factors_t(
+                                hrow, wcol, x0, fx, y0, fy, p, False)
+                            a = a + (aw[:, p:p + 1] * (ty * tx)).astype(a_dtype)
+                            y0p = y0[:, p:p + 1]
+                            zero = jnp.zeros((), a_dtype)
+                            ps += [jnp.where(hrow == y0p, ub, zero),
+                                   jnp.where(hrow == y0p + 1, ub, zero)]
+                        z = jax.lax.dot_general(
+                            jnp.concatenate(ps, axis=0), cwt,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (2P·TQ, 128)
+                        zids = jax.lax.broadcasted_iota(
+                            jnp.int32, (TQ, 128), 1)
+                        for p in range(P):
+                            z0 = z[(2 * p) * TQ:(2 * p + 1) * TQ]
+                            z1 = z[(2 * p + 1) * TQ:(2 * p + 2) * TQ]
+                            x0p = x0[:, p:p + 1]
+                            fxp = fx[:, p:p + 1]
+                            fyp = fy[:, p:p + 1]
+                            # corner reads as masked 128-lane reduces on the
+                            # small z tiles (dynamic_gather measured ~4× slower
+                            # here; out-of-range corners match no lane → 0)
+                            m0 = zids == x0p
+                            m1 = zids == x0p + 1
+                            zero = jnp.zeros((), jnp.float32)
+                            u00 = jnp.sum(jnp.where(m0, z0, zero),
+                                          axis=1, keepdims=True)
+                            u01 = jnp.sum(jnp.where(m1, z0, zero),
+                                          axis=1, keepdims=True)
+                            u10 = jnp.sum(jnp.where(m0, z1, zero),
+                                          axis=1, keepdims=True)
+                            u11 = jnp.sum(jnp.where(m1, z1, zero),
+                                          axis=1, keepdims=True)
+                            gy = 1.0 - fyp
+                            gx = 1.0 - fxp
+                            S3[p] = S3[p] + (gy * (gx * u00 + fxp * u01)
+                                             + fyp * (gx * u10 + fxp * u11))
+                            S3[P + p] = S3[P + p] + (gy * (u01 - u00)
+                                                     + fyp * (u11 - u10))
+                            S3[2 * P + p] = S3[2 * P + p] + (gx * (u10 - u00)
+                                                             + fxp * (u11 - u01))
+                        return a, tuple(S3)
+
+                    base = lvl * 3 * P
+                    S3 = tuple(S[base:base + 3 * P])
+                    a, S3 = jax.lax.cond(_active(spans[lvl], g, gw), build,
+                                         lambda c: c, (a, S3))
+                    S[base:base + 3 * P] = list(S3)
+                if transposed:
+                    dv_ref[0, :, pl.ds(rows, gw)] += jnp.dot(
+                        gbt, a, preferred_element_type=jnp.float32
+                    ).astype(dv_ref.dtype)
+                else:
+                    dv_ref[0, pl.ds(rows, gw), :] += jax.lax.dot_general(
+                        a, gb, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ).astype(dv_ref.dtype)
+                return tuple(S)
+
+            return jax.lax.cond(_any_hit(spans, g, gw), run, lambda S: tuple(S),
+                                tuple(S))
+
+        S = jax.lax.fori_loop(
+            0, G, group,
+            tuple(jnp.zeros((TQ, 1), jnp.float32) for _ in range(3 * P * L)))
+        dxs, dys, das = [], [], []
+        for lvl, (H, W) in enumerate(spatial_shapes):
+            aw = facs[lvl][4]
+            base = lvl * 3 * P
+            da = jnp.concatenate([S[base + p] for p in range(P)], axis=1)
+            dx = jnp.concatenate([S[base + P + p] for p in range(P)], axis=1)
+            dy = jnp.concatenate([S[base + 2 * P + p] for p in range(P)], axis=1)
+            das.append(da)
+            dxs.append(dx * aw * W)
+            dys.append(dy * aw * H)
+        dq_ref[0, :, pl.ds(ts, TQ)] = jnp.concatenate(
+            dxs + dys + das, axis=1).T.astype(dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nQ, tile, 0)
+
+
 _MERGED_BWD = False
 _UFORM_BWD = False
 _REDUCE_DOT = False  # u-form: lane-reduces as ONE stacked MXU ones-dot
@@ -668,6 +816,20 @@ _TQ_BWD = 0      # optional bwd query-tile override (must divide Lqp)
 def use_reduce_dot(on: bool) -> None:
     global _REDUCE_DOT
     _REDUCE_DOT = on
+
+
+_GATHER_BWD = False  # corner-gather merged backward (see its kernel docstring)
+
+
+def use_gather_bwd(on: bool) -> None:
+    global _GATHER_BWD
+    _GATHER_BWD = on
+
+
+def _gather_ok(spatial_shapes) -> bool:
+    # one-vreg corner reads need every level width ≤ 128 (the z tiles hold one
+    # level row per 128 lanes; wider levels would span vregs)
+    return all(w <= 128 for _, w in spatial_shapes)
 
 
 def use_uform_bwd(on: bool) -> None:
@@ -775,7 +937,12 @@ def _msda_bwd(spatial_shapes, res, grad):
             in_specs = [_fspec(f.shape[1], Lqp)] + map_specs + [
                 _full_spec(G * gw, D), _full_spec(Lqp, D)]
             dv_spec, dv_shape = _full_spec(G * gw, D), (BM, G * gw, D)
-        kern = _bwd_merged_uform_kernel if _UFORM_BWD else _bwd_merged_kernel
+        if _GATHER_BWD and _gather_ok(spatial_shapes):
+            kern = _bwd_merged_gather_kernel
+        elif _UFORM_BWD:
+            kern = _bwd_merged_uform_kernel
+        else:
+            kern = _bwd_merged_kernel
         dq, dv = pl.pallas_call(
             functools.partial(kern, spatial_shapes, G, starts,
                               TQd, Lqp // TQd, P, value.dtype, transposed, gw),

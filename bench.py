@@ -53,6 +53,12 @@ def main() -> None:
         from adaptersis_tpu.ops import msda_pallas
 
         msda_pallas.use_uform_bwd(True)
+    # corner-gather merged backward (see _bwd_merged_gather_kernel): CAViT
+    # 87.7→81.6, CACNN 58.5→55.1 ms/call; falls back to u-form off-eligibility
+    if os.environ.get("ASN_GATHER_BWD", "1") != "0":
+        from adaptersis_tpu.ops import msda_pallas
+
+        msda_pallas.use_gather_bwd(True)
 
     # persistent compilation cache: the matmul deformable-attention program takes
     # minutes to compile via this image's remote-compile tunnel; cache it so

@@ -114,6 +114,67 @@ def test_uform_bwd_matches_split(shapes, Lq, D):
                                    rtol=1e-4, atol=1e-4, err_msg=f"grad {i}")
 
 
+@pytest.mark.parametrize("shapes,Lq,D", [
+    ([(8, 8), (4, 4), (2, 2)], 9, 8),    # D<128 → transposed v/dV layout
+    ([(40, 37)], 20, 8),
+    ([(8, 8), (4, 4)], 9, 128),          # D=128 → natural layout, no gT
+])
+def test_gather_bwd_matches_split(shapes, Lq, D):
+    """The corner-gather merged backward (dq from u at the four bilinear
+    corners via one stacked C_wᵀ dot + masked 128-lane reads) must match the
+    split backward; includes far out-of-range sampling points (clipped
+    corners must contribute zero)."""
+    rng = np.random.default_rng(11)
+    L = len(shapes)
+    B, M, P = 2, 2, 4
+    S = sum(h * w for h, w in shapes)
+    v = jnp.asarray(rng.standard_normal((B, S, M, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.6, 1.6, (B, Lq, M, L, P, 2)), jnp.float32)
+    aw = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, L, P)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, Lq, M * D)), jnp.float32)
+
+    def loss(v_, l_, w_):
+        return (mp.msda_pallas(v_, l_, w_, tuple(shapes)) * t).sum()
+
+    g_split = jax.grad(loss, argnums=(0, 1, 2))(v, loc, aw)
+    mp.use_merged_bwd(True)
+    mp.use_gather_bwd(True)
+    try:
+        g_gather = jax.grad(loss, argnums=(0, 1, 2))(v, loc, aw)
+    finally:
+        mp.use_merged_bwd(False)
+        mp.use_gather_bwd(False)
+    for i, (x, y) in enumerate(zip(g_split, g_gather)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"grad {i}")
+
+
+def test_gather_bwd_falls_back_on_wide_levels():
+    """Level width > 128 → _gather_ok false → the u-form/merged kernel runs
+    (still correct)."""
+    shapes = [(3, 200)]
+    rng = np.random.default_rng(13)
+    B, M, D, P, Lq = 1, 1, 8, 2, 7
+    v = jnp.asarray(rng.standard_normal((B, 600, M, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, 1, P, 2)), jnp.float32)
+    aw = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, 1, P)), jnp.float32)
+    assert not mp._gather_ok(tuple(map(tuple, shapes)))
+
+    def loss(v_):
+        return mp.msda_pallas(v_, loc, aw, tuple(shapes)).sum()
+
+    g0 = jax.grad(loss)(v)
+    mp.use_merged_bwd(True)
+    mp.use_gather_bwd(True)
+    try:
+        g1 = jax.grad(loss)(v)
+    finally:
+        mp.use_merged_bwd(False)
+        mp.use_gather_bwd(False)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_module_dispatch_matches_gather():
     from adaptersis_tpu.models.adapters import get_reference_points
     from adaptersis_tpu.ops.ms_deform_attn import MSDeformAttn

@@ -31,6 +31,8 @@ if os.environ.get("ASN_MSDA_UFORM") == "1":
     mp.use_uform_bwd(True)
 if os.environ.get("ASN_REDUCE_DOT") == "1":
     mp.use_reduce_dot(True)
+if os.environ.get("ASN_GATHER_BWD") == "1":
+    mp.use_gather_bwd(True)
 if os.environ.get("ASN_TQ_BWD"):
     mp._TQ_BWD = int(os.environ["ASN_TQ_BWD"])
 
