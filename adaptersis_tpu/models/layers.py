@@ -154,15 +154,20 @@ def _sdpa_einsum(q, k, v, scale, dtype):
     return jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(dtype))
 
 
-def _flash_block(np_len: int) -> int:
-    """Largest 128-multiple block ≤1024 dividing the padded sequence. The
-    library default (512-pad, small blocks) measured 27 ms at the flagship
-    1765-token shape; 896-blocks over a 1792 pad measure 4.7 ms (vs 6.6 ms
-    einsum) on v5e."""
+def _flash_blocks(np_len: int) -> Tuple[int, int]:
+    """(block_q, block_k) for the padded sequence. The library default
+    (512-pad, small blocks) measured 27 ms at the flagship 1765-token shape;
+    896-q-blocks with bk=896 measured 4.7 ms (vs 6.6 ms einsum); a SINGLE kv
+    block (bk = full padded length) removes the online-softmax rescale pass
+    entirely — 3.44 → 3.15 ms/layer on v5e (tools/bench_flash.py sweep).
+    bq=1792 regresses (3.9) and bq=bk=1792 overflows the compiler."""
+    bq = 128
     for cand in (1024, 896, 768, 640, 512, 384, 256, 128):
         if np_len % cand == 0:
-            return cand
-    return 128
+            bq = cand
+            break
+    bk = np_len if np_len <= 2048 and np_len != bq else bq
+    return bq, bk
 
 
 def _sdpa_flash(q, k, v, scale, segment_ids=None):
@@ -192,12 +197,12 @@ def _sdpa_flash(q, k, v, scale, segment_ids=None):
     else:
         ids = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pad)),
                       constant_values=-1)
-    blk = _flash_block(Np)
+    bq, bk = _flash_blocks(Np)
     out = flash_attention(
         to_bhnd(q), to_bhnd(k), to_bhnd(v),
         segment_ids=SegmentIds(q=ids, kv=ids),
         sm_scale=scale,
-        block_sizes=BlockSizes(block_q=blk, block_k_major=blk, block_k=blk,
+        block_sizes=BlockSizes(block_q=bq, block_k_major=bk, block_k=bk,
                                block_b=1),
     )
     return out.transpose(0, 2, 1, 3)[:, :N]

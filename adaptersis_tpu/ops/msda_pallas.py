@@ -116,6 +116,12 @@ def supported(spatial_shapes, D: int = 0, Lq: int = 0, P: int = 4,
     # fwd/dv build one A tile (+casts); dq additionally keeps tx/ty/dtx/dty
     # and the 3-stacked variant tile live
     fwd = maps_b + f_b + v_b + out_fwd + 4 * tile
+    if _MERGED_BWD:
+        # the merged dq+dV kernel (default) runs with a raised Mosaic VMEM
+        # ceiling (28 MB requested; the flagship instance measures 17.1 MB);
+        # budget its whole-block residency + ~10 factor/z/scratch tiles
+        bwd = (maps_b + f_b + v_b + g_b + dq_out + dv_out + 10 * tile)
+        return max(fwd, bwd) <= max(vmem_limit, 26 * 2 ** 20)
     bwd_dv = maps_b + f_b + g_b + dv_out + 4 * tile
     bwd_dq = maps_b + f_b + v_b + g_b + dq_out + 8 * tile
     return max(fwd, bwd_dv, bwd_dq) <= vmem_limit
@@ -804,8 +810,12 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     jax.lax.fori_loop(0, nQ, tile, 0)
 
 
-_MERGED_BWD = False
-_UFORM_BWD = False
+# Library defaults = the measured-best configuration on v5e (see BASELINE.md
+# rounds 2-3): ONE merged dq+dV kernel per call, corner-gather dq form where
+# every level is ≤128 lanes wide, u-form otherwise. The toggles remain for
+# A/B benchmarking (tools/bench_msda.py) and the regression tests.
+_MERGED_BWD = True
+_UFORM_BWD = True
 _REDUCE_DOT = False  # u-form: lane-reduces as ONE stacked MXU ones-dot
 # dev-only timing ablations for the u-form merged kernel (WRONG numerics):
 # "noreduce" | "nogradfac" | "nodv" | "noudot" — isolate each cost component
@@ -818,7 +828,7 @@ def use_reduce_dot(on: bool) -> None:
     _REDUCE_DOT = on
 
 
-_GATHER_BWD = False  # corner-gather merged backward (see its kernel docstring)
+_GATHER_BWD = True   # corner-gather merged backward (see its kernel docstring)
 
 
 def use_gather_bwd(on: bool) -> None:

@@ -37,28 +37,16 @@ def main() -> None:
     if os.environ.get("ASN_BATCH"):
         BATCH = int(os.environ["ASN_BATCH"])
 
-    # merged dq+dV MSDA backward (ops/msda_pallas.py): 104→90 ms/call on the
-    # flagship CAViT geometry (needs the raised Mosaic vmem_limit the kernel
-    # now requests); ASN_MERGED_MSDA=0 falls back to the split kernels
-    if os.environ.get("ASN_MERGED_MSDA", "1") != "0":
-        from adaptersis_tpu.ops import msda_pallas
+    # the merged corner-gather/u-form backward is the LIBRARY DEFAULT
+    # (ops/msda_pallas.py); these knobs exist to A/B the variants
+    from adaptersis_tpu.ops import msda_pallas
 
-        msda_pallas.use_merged_bwd(True)
+    msda_pallas.use_merged_bwd(os.environ.get("ASN_MERGED_MSDA", "1") != "0")
+    msda_pallas.use_uform_bwd(os.environ.get("ASN_MSDA_UFORM", "1") != "0")
+    msda_pallas.use_gather_bwd(os.environ.get("ASN_GATHER_BWD", "1") != "0")
     if os.environ.get("ASN_GW_FWD"):
-        from adaptersis_tpu.ops import msda_pallas
-
         msda_pallas._GW_FWD = int(os.environ["ASN_GW_FWD"])
         msda_pallas._plan.cache_clear()
-    if os.environ.get("ASN_MSDA_UFORM", "1") != "0":
-        from adaptersis_tpu.ops import msda_pallas
-
-        msda_pallas.use_uform_bwd(True)
-    # corner-gather merged backward (see _bwd_merged_gather_kernel): CAViT
-    # 87.7→81.6, CACNN 58.5→55.1 ms/call; falls back to u-form off-eligibility
-    if os.environ.get("ASN_GATHER_BWD", "1") != "0":
-        from adaptersis_tpu.ops import msda_pallas
-
-        msda_pallas.use_gather_bwd(True)
 
     # persistent compilation cache: the matmul deformable-attention program takes
     # minutes to compile via this image's remote-compile tunnel; cache it so

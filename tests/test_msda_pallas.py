@@ -14,9 +14,16 @@ from adaptersis_tpu.ops.ms_deform_attn import ms_deform_attn_core
 
 @pytest.fixture(autouse=True)
 def _force_interpret():
+    # interpret mode + split-kernel baseline (the library defaults are the
+    # merged corner-gather backward; these tests toggle variants explicitly)
+    saved = (mp._MERGED_BWD, mp._UFORM_BWD, mp._GATHER_BWD)
     mp._FORCE_INTERPRET = True
+    mp.use_merged_bwd(False)
+    mp.use_uform_bwd(False)
+    mp.use_gather_bwd(False)
     yield
     mp._FORCE_INTERPRET = None
+    mp._MERGED_BWD, mp._UFORM_BWD, mp._GATHER_BWD = saved
 
 
 @pytest.mark.parametrize("shapes,Lq", [

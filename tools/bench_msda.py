@@ -27,12 +27,12 @@ if os.environ.get("ASN_GW_BWD"):
     mp._GW = int(os.environ["ASN_GW_BWD"])
 if os.environ.get("ASN_GW_FWD"):
     mp._GW_FWD = int(os.environ["ASN_GW_FWD"])
-if os.environ.get("ASN_MSDA_UFORM") == "1":
-    mp.use_uform_bwd(True)
-if os.environ.get("ASN_REDUCE_DOT") == "1":
-    mp.use_reduce_dot(True)
-if os.environ.get("ASN_GATHER_BWD") == "1":
-    mp.use_gather_bwd(True)
+if os.environ.get("ASN_MSDA_UFORM"):
+    mp.use_uform_bwd(os.environ["ASN_MSDA_UFORM"] == "1")
+if os.environ.get("ASN_REDUCE_DOT"):
+    mp.use_reduce_dot(os.environ["ASN_REDUCE_DOT"] == "1")
+if os.environ.get("ASN_GATHER_BWD"):
+    mp.use_gather_bwd(os.environ["ASN_GATHER_BWD"] == "1")
 if os.environ.get("ASN_TQ_BWD"):
     mp._TQ_BWD = int(os.environ["ASN_TQ_BWD"])
 

@@ -31,12 +31,9 @@ BATCH, IMSIZE = 16, 588
 
 
 def main():
-    if os.environ.get("ASN_MERGED_MSDA", "1") != "0":
-        msda_pallas.use_merged_bwd(True)
-    if os.environ.get("ASN_MSDA_UFORM", "1") != "0":
-        msda_pallas.use_uform_bwd(True)
-    if os.environ.get("ASN_GATHER_BWD", "1") != "0":
-        msda_pallas.use_gather_bwd(True)
+    msda_pallas.use_merged_bwd(os.environ.get("ASN_MERGED_MSDA", "1") != "0")
+    msda_pallas.use_uform_bwd(os.environ.get("ASN_MSDA_UFORM", "1") != "0")
+    msda_pallas.use_gather_bwd(os.environ.get("ASN_GATHER_BWD", "1") != "0")
     backbone = build_backbone("vit_large", img_size=518, patch_size=14,
                               attn_impl="flash", gelu_approx=True,
                               dtype=jnp.bfloat16)
