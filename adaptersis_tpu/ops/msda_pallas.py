@@ -105,7 +105,7 @@ def supported(spatial_shapes, D: int = 0, Lq: int = 0, P: int = 4,
     G = _round_up(S, _GW) // _GW
     TQ, Lqp = _prep_shapes(Lq)
     F = 3 * L * P
-    maps_b = 2 * L * G * _GW * 4          # constant index → single-buffered
+    maps_b = 2 * L * G * _GW * 4          # two constant maps/level, single-buffered
     f_b = 2 * F * Lqp * 4                 # packed factors, double-buffered
     v_b = 2 * G * _GW * D * dtype_bytes
     g_b = 2 * Lqp * D * dtype_bytes
@@ -131,8 +131,12 @@ def supported(spatial_shapes, D: int = 0, Lq: int = 0, P: int = 4,
 def _plan(spatial_shapes, gw=_GW):
     """Static per-level geometry + constant coordinate maps.
 
-    Returns (G, starts, maps) where maps[l] = (hrow, wcol) int32 (G, gw)
-    giving the level-local pixel coords of each flat lane, sentinel outside."""
+    Returns (G, starts, maps) where maps[l] = (hrow, wcol, hrowf, wcolf):
+    int32 + f32 (G, gw) level-local pixel coords of each flat lane, sentinel
+    outside. The f32 copies feed the hat-function factor build (tx as
+    relu(1−|wcolf−x|) — one sub/abs/rsub/max chain instead of two integer
+    compares + two selects + an add per corner pair); the int copies feed the
+    exact row/column masks of the corner-gather backward."""
     S = sum(h * w for h, w in spatial_shapes)
     G = _round_up(S, gw) // gw
     s_flat = np.arange(G * gw, dtype=np.int64)
@@ -145,7 +149,9 @@ def _plan(spatial_shapes, gw=_GW):
         hrow = np.where(inside, local // max(W, 1), _SENTINEL).astype(np.int32)
         wcol = np.where(inside, local % max(W, 1), _SENTINEL).astype(np.int32)
         starts.append(start)
-        maps.append((hrow.reshape(G, gw), wcol.reshape(G, gw)))
+        maps.append((hrow.reshape(G, gw), wcol.reshape(G, gw),
+                     hrow.reshape(G, gw).astype(np.float32),
+                     wcol.reshape(G, gw).astype(np.float32)))
         start += H * W
     return G, tuple(starts), tuple(maps)
 
@@ -190,7 +196,8 @@ def _level_factors(f, lvl, P):
     aw = f[:, b + 2 * P:b + 3 * P]
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    return (x0f.astype(jnp.int32), x - x0f, y0f.astype(jnp.int32), y - y0f, aw)
+    return (x0f.astype(jnp.int32), x - x0f, y0f.astype(jnp.int32), y - y0f,
+            aw, x, y)
 
 
 def _corner_span(x0, y0, H, W, start):
@@ -228,10 +235,33 @@ def _factors_t(hrow, wcol, x0, fx, y0, fy, p, grad, dtype=jnp.float32):
     return tx, ty, dtx, dty
 
 
+# Each kernel ships exactly TWO coordinate maps per level: the fwd/dv kernels
+# take the f32 copies (hat-function A build), the backward kernels the int32
+# copies (exact corner masks). Shipping all four to every kernel measured
+# +7-13 ms on the BACKWARD kernels (operand-count sensitivity in Mosaic's
+# pipeline, far beyond the maps' DMA bytes) — keep the sets disjoint.
+_NM = 2  # arrays shipped per level
+
+
 def _slice_maps(map_refs, lvl, g):
-    hrow = map_refs[2 * lvl][pl.ds(g, 1), :]
-    wcol = map_refs[2 * lvl + 1][pl.ds(g, 1), :]
-    return hrow, wcol
+    """Two (1, gw) rows for level lvl — int (hrow, wcol) or f32 (hrowf, wcolf)
+    depending on which map set the wrapper shipped."""
+    a = map_refs[_NM * lvl][pl.ds(g, 1), :]
+    b = map_refs[_NM * lvl + 1][pl.ds(g, 1), :]
+    return a, b
+
+
+def _hat_t(hrowf, wcolf, x, y, p, dtype=jnp.float32):
+    """tx/ty bilinear factors as hat functions on the float coordinate maps:
+    tx = relu(1 − |wcolf − x_p|) — for integer wcolf this equals the two-corner
+    compare build exactly (x−x0 IS fx; the x0+1 corner may differ by 1 ulp),
+    in 4 VPU passes instead of 5, with zero padding automatic (the sentinel is
+    ~1e9 away from any in-range coordinate)."""
+    xp = x[:, p:p + 1]
+    yp = y[:, p:p + 1]
+    tx = jnp.maximum(1.0 - jnp.abs(wcolf - xp), 0.0).astype(dtype)
+    ty = jnp.maximum(1.0 - jnp.abs(hrowf - yp), 0.0).astype(dtype)
+    return tx, ty
 
 
 def _active(span, g, gw=_GW):
@@ -251,11 +281,11 @@ def _tile_state(fref, ts, TQ, spatial_shapes, starts, P):
 def _build_a(facs, spans, maps, g, TQ, P, gw=_GW):
     """One (TQ, GW) A-tile for flat group g — levels under activation conds."""
     a = jnp.zeros((TQ, gw), jnp.float32)
-    for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
-        def build(a, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy, aw=aw):
-            hrow, wcol = _slice_maps(maps, lvl, g)
+    for lvl, (x0, fx, y0, fy, aw, x, y) in enumerate(facs):
+        def build(a, lvl=lvl, x=x, y=y, aw=aw):
+            hrowf, wcolf = _slice_maps(maps, lvl, g)
             for p in range(P):
-                tx, ty, _, _ = _factors_t(hrow, wcol, x0, fx, y0, fy, p, False)
+                tx, ty = _hat_t(hrowf, wcolf, x, y, p)
                 a = a + aw[:, p:p + 1] * (ty * tx)
             return a
 
@@ -271,9 +301,9 @@ def _any_hit(spans, g, gw=_GW):
 def _fwd_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
     L = len(spatial_shapes)
     fref = refs[0]
-    maps = refs[1:1 + 2 * L]
-    vref = refs[1 + 2 * L]
-    out_ref = refs[2 + 2 * L]
+    maps = refs[1:1 + _NM * L]
+    vref = refs[1 + _NM * L]
+    out_ref = refs[2 + _NM * L]
     D = out_ref.shape[-1]
 
     def tile(qt, _):
@@ -303,9 +333,9 @@ def _bwd_dv_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, gw, *refs):
     VMEM-resident for the kernel's single grid step."""
     L = len(spatial_shapes)
     fref = refs[0]
-    maps = refs[1:1 + 2 * L]
-    gref = refs[1 + 2 * L]
-    dvref = refs[2 + 2 * L]
+    maps = refs[1:1 + _NM * L]
+    gref = refs[1 + _NM * L]
+    dvref = refs[2 + _NM * L]
     dvref[0] = jnp.zeros_like(dvref[0])
 
     def tile(qt, _):
@@ -336,10 +366,10 @@ def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, gw, *refs):
     bilinear factors followed by a full-lane reduce."""
     L = len(spatial_shapes)
     fref = refs[0]
-    maps = refs[1:1 + 2 * L]
-    vref = refs[1 + 2 * L]
-    gref = refs[2 + 2 * L]
-    dq_ref = refs[3 + 2 * L]
+    maps = refs[1:1 + _NM * L]
+    vref = refs[1 + _NM * L]
+    gref = refs[2 + _NM * L]
+    dq_ref = refs[3 + _NM * L]
 
     def tile(qt, _):
         ts = pl.multiple_of(qt * TQ, TQ)
@@ -353,7 +383,7 @@ def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, gw, *refs):
                 S = list(S)
                 rows = pl.multiple_of(g * gw, gw)
                 vblk = vref[0, pl.ds(rows, gw), :].astype(a_dtype)
-                for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
+                for lvl, (x0, fx, y0, fy, aw, _x, _y) in enumerate(facs):
                     def build(S3, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy):
                         S3 = list(S3)
                         hrow, wcol = _slice_maps(maps, lvl, g)
@@ -420,16 +450,16 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     For D≥128-multiples the natural orientation is strictly smaller (no gT)."""
     L = len(spatial_shapes)
     fref = refs[0]
-    maps = refs[1:1 + 2 * L]
-    vref = refs[1 + 2 * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
-    gref = refs[2 + 2 * L]       # (1, Lqp, D)
+    maps = refs[1:1 + _NM * L]
+    vref = refs[1 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[2 + _NM * L]       # (1, Lqp, D)
     if transposed:
-        gtref = refs[3 + 2 * L]  # (1, D, Lqp)
-        dq_ref = refs[4 + 2 * L]
-        dv_ref = refs[5 + 2 * L]  # (1, D, G·GW)
+        gtref = refs[3 + _NM * L]  # (1, D, Lqp)
+        dq_ref = refs[4 + _NM * L]
+        dv_ref = refs[5 + _NM * L]  # (1, D, G·GW)
     else:
-        dq_ref = refs[3 + 2 * L]
-        dv_ref = refs[4 + 2 * L]  # (1, G·GW, D)
+        dq_ref = refs[3 + _NM * L]
+        dv_ref = refs[4 + _NM * L]  # (1, G·GW, D)
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     def tile(qt, _):
@@ -447,7 +477,7 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                 vblk = (vref[0, :, pl.ds(rows, gw)] if transposed
                         else vref[0, pl.ds(rows, gw), :]).astype(a_dtype)
                 a = jnp.zeros((TQ, gw), a_dtype)
-                for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
+                for lvl, (x0, fx, y0, fy, aw, _x, _y) in enumerate(facs):
                     def build(carry, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
                               aw=aw):
                         a, S3 = carry
@@ -535,16 +565,16 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     one ~2 µs dot per (group, level)."""
     L = len(spatial_shapes)
     fref = refs[0]
-    maps = refs[1:1 + 2 * L]
-    vref = refs[1 + 2 * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
-    gref = refs[2 + 2 * L]       # (1, Lqp, D)
+    maps = refs[1:1 + _NM * L]
+    vref = refs[1 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[2 + _NM * L]       # (1, Lqp, D)
     if transposed:
-        gtref = refs[3 + 2 * L]  # (1, D, Lqp)
-        dq_ref = refs[4 + 2 * L]
-        dv_ref = refs[5 + 2 * L]  # (1, D, G·GW)
+        gtref = refs[3 + _NM * L]  # (1, D, Lqp)
+        dq_ref = refs[4 + _NM * L]
+        dv_ref = refs[5 + _NM * L]  # (1, D, G·GW)
     else:
-        dq_ref = refs[3 + 2 * L]
-        dv_ref = refs[4 + 2 * L]  # (1, G·GW, D)
+        dq_ref = refs[3 + _NM * L]
+        dv_ref = refs[4 + _NM * L]  # (1, G·GW, D)
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     def tile(qt, _):
@@ -572,7 +602,7 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                         gb, vblk, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                 a = jnp.zeros((TQ, gw), a_dtype)
-                for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
+                for lvl, (x0, fx, y0, fy, aw, _x, _y) in enumerate(facs):
                     def build(carry, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
                               aw=aw):
                         a, S3 = carry
@@ -682,16 +712,16 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     The wrapper falls back to the u-form kernel otherwise."""
     L = len(spatial_shapes)
     fref = refs[0]
-    maps = refs[1:1 + 2 * L]
-    vref = refs[1 + 2 * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
-    gref = refs[2 + 2 * L]       # (1, Lqp, D)
+    maps = refs[1:1 + _NM * L]
+    vref = refs[1 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[2 + _NM * L]       # (1, Lqp, D)
     if transposed:
-        gtref = refs[3 + 2 * L]  # (1, D, Lqp)
-        dq_ref = refs[4 + 2 * L]
-        dv_ref = refs[5 + 2 * L]  # (1, D, G·GW)
+        gtref = refs[3 + _NM * L]  # (1, D, Lqp)
+        dq_ref = refs[4 + _NM * L]
+        dv_ref = refs[5 + _NM * L]  # (1, D, G·GW)
     else:
-        dq_ref = refs[3 + 2 * L]
-        dv_ref = refs[4 + 2 * L]  # (1, G·GW, D)
+        dq_ref = refs[3 + _NM * L]
+        dv_ref = refs[4 + _NM * L]  # (1, G·GW, D)
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     def tile(qt, _):
@@ -717,9 +747,9 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                         preferred_element_type=jnp.float32)
                 ub = u.astype(a_dtype)
                 a = jnp.zeros((TQ, gw), a_dtype)
-                for lvl, (x0, fx, y0, fy, aw) in enumerate(facs):
+                for lvl, (x0, fx, y0, fy, aw, x, y) in enumerate(facs):
                     def build(carry, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
-                              aw=aw):
+                              aw=aw, x=x, y=y):
                         a, S3 = carry
                         S3 = list(S3)
                         hrow, wcol = _slice_maps(maps, lvl, g)
@@ -728,13 +758,25 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                         cwt = jnp.where(wids == wcol, 1.0, 0.0).astype(a_dtype)
                         ps = []
                         for p in range(P):
-                            tx, ty, _, _ = _factors_t(
-                                hrow, wcol, x0, fx, y0, fy, p, False)
-                            a = a + (aw[:, p:p + 1] * (ty * tx)).astype(a_dtype)
+                            # A build SHARES the two row masks with the corner
+                            # selects below; the hat form measured SLOWER here
+                            # (full hat bwd 58.5→70.4 ms, hat-tx-only 66.9 —
+                            # the compare/select build is the fast path inside
+                            # this kernel; only the fwd/dv kernels keep hat)
                             y0p = y0[:, p:p + 1]
+                            fyp = fy[:, p:p + 1]
+                            x0p = x0[:, p:p + 1]
+                            fxp = fx[:, p:p + 1]
+                            m0 = hrow == y0p
+                            m1 = hrow == y0p + 1
+                            tx = (jnp.where(wcol == x0p, 1.0 - fxp, 0.0)
+                                  + jnp.where(wcol == x0p + 1, fxp, 0.0))
+                            ty = (jnp.where(m0, 1.0 - fyp, 0.0)
+                                  + jnp.where(m1, fyp, 0.0))
+                            a = a + (aw[:, p:p + 1] * (ty * tx)).astype(a_dtype)
                             zero = jnp.zeros((), a_dtype)
-                            ps += [jnp.where(hrow == y0p, ub, zero),
-                                   jnp.where(hrow == y0p + 1, ub, zero)]
+                            ps += [jnp.where(m0, ub, zero),
+                                   jnp.where(m1, ub, zero)]
                         z = jax.lax.dot_general(
                             jnp.concatenate(ps, axis=0), cwt,
                             (((1,), (1,)), ((), ())),
@@ -862,11 +904,18 @@ def _fspec(F, Lqp):
                         memory_space=pltpu.VMEM)
 
 
-def _map_args(maps):
-    """Constant coordinate maps as kernel inputs (pallas forbids captures)."""
+def _map_args(maps, kind):
+    """Constant coordinate maps as kernel inputs (pallas forbids captures).
+
+    kind='float' ships (hrowf, wcolf) for the hat-function A build (fwd/dv
+    kernels); kind='int' ships (hrow, wcol) for the exact corner masks (bwd
+    kernels). Disjoint on purpose — see the _NM comment."""
     args = []
-    for hrow, wcol in maps:
-        args += [jnp.asarray(hrow), jnp.asarray(wcol)]
+    for hrow, wcol, hrowf, wcolf in maps:
+        if kind == "float":
+            args += [jnp.asarray(hrowf), jnp.asarray(wcolf)]
+        else:
+            args += [jnp.asarray(hrow), jnp.asarray(wcol)]
     specs = [pl.BlockSpec(a.shape, lambda bm: (0, 0),
                           memory_space=pltpu.VMEM) for a in args]
     return args, specs
@@ -882,7 +931,7 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes):
     vb, f = _fold_inputs(value, sampling_locations, attention_weights,
                          spatial_shapes, Lqp, G, gw=_GW_FWD)
 
-    map_args, map_specs = _map_args(maps)
+    map_args, map_specs = _map_args(maps, "float")
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, spatial_shapes, G, starts, TQ,
                           Lqp // TQ, P, value.dtype),
@@ -928,7 +977,7 @@ def _msda_bwd(spatial_shapes, res, grad):
     # blocks on the bf16 path; the fp32 parity path is unchanged
     g = jnp.pad(g.astype(value.dtype), [(0, 0), (0, Lqp - Lq), (0, 0)])
 
-    map_args, map_specs = _map_args(maps)
+    map_args, map_specs = _map_args(maps, "int")
     # the dq kernel keeps ~6 (TQ, 1024) factor tensors live — halve its tile
     # when TQ is large (lane-sliced factor reads need 128-multiples, so never
     # below 128; tiny interpret-mode shapes keep TQ as-is)
@@ -996,16 +1045,18 @@ def _msda_bwd(spatial_shapes, res, grad):
     dy = dq[:, :, L * P:2 * L * P]
     da = dq[:, :, 2 * L * P:]
 
+    # the dv kernel's A build is the hat-function form → float maps
+    fmap_args, fmap_specs = _map_args(maps, "float")
     dv = pl.pallas_call(
         functools.partial(_bwd_dv_kernel, spatial_shapes, G, starts, TQ,
                           Lqp // TQ, P, value.dtype, gw),
         grid=(BM,),
-        in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
+        in_specs=[_fspec(f.shape[1], Lqp)] + fmap_specs
         + [_full_spec(Lqp, D)],
         out_specs=_full_spec(G * gw, D),
         out_shape=jax.ShapeDtypeStruct((BM, G * gw, D), jnp.float32),
         interpret=_interpret(),
-    )(f, *map_args, g)
+    )(f, *fmap_args, g)
 
     dv = dv[:, :S].reshape(B, M, S, D).transpose(0, 2, 1, 3)
 

@@ -79,9 +79,12 @@ def bench(name, shapes, Lq, query_shapes):
     t = jnp.asarray(rng.standard_normal((B, Lq, M * D)), jnp.bfloat16)
 
     fwd = jax.jit(lambda v_, l_, w_: mp.msda_pallas(v_, l_, w_, tuple(shapes)))
+    # the cotangent must DEPEND on the forward output ((out+t)² not out·t):
+    # with a constant cotangent XLA dead-code-eliminates the fwd kernel from
+    # the grad program and "fwd+bwd" silently measures bwd-only
     g = jax.jit(jax.grad(
-        lambda v_, l_, w_: (mp.msda_pallas(v_, l_, w_, tuple(shapes))
-                            * t).sum(), argnums=(0, 1, 2)))
+        lambda v_, l_, w_: ((mp.msda_pallas(v_, l_, w_, tuple(shapes)) + t) ** 2
+                            ).sum(), argnums=(0, 1, 2)))
     f_ms = timeit(fwd, v, loc, aw)
     fb_ms = timeit(g, v, loc, aw)
     print(f"{name:8s} fwd {f_ms:7.2f} ms   fwd+bwd {fb_ms:7.2f} ms")
