@@ -164,16 +164,26 @@ def _prep_shapes(Lq):
     return TQ, _round_up(Lq, TQ)
 
 
-def _fold_inputs(value, sampling_locations, attention_weights, spatial_shapes,
-                 Lqp, G, gw=_GW):
-    """value → (BM, G·1024, D) flat-padded; (loc, aw) → ONE packed factor array
-    (BM, Lqp, L·3P) f32, per-level columns [x·W−.5 (P) | y·H−.5 (P) | aw (P)]."""
+def _fold_value(value, G, gw=_GW):
+    """value (B,S,M,D) → (BM, G·gw, D) flat-padded."""
     B, S, M, D = value.shape
+    vb = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
+    return jnp.pad(vb, [(0, 0), (0, G * gw - S), (0, 0)])
+
+
+def _fold_factors(sampling_locations, attention_weights, spatial_shapes):
+    """(loc, aw) → ONE packed factor array, TRANSPOSED and UNPADDED
+    (BM, L·3P, Lq) f32, per-level rows [x·W−.5 (P) | y·H−.5 (P) | aw (P)].
+
+    Group-width independent (gw only pads the value block), so the SAME array
+    serves the fwd kernel and — saved as the custom-VJP residual in place of
+    raw (loc, aw) — the backward: at flagship shapes this drops ~2.7 GB of
+    fp32 residuals per step (loc alone is (B,Lq,M,L,P,2) f32 ≈ 216-379 MB per
+    call; f is 33-57 MB) without touching numerics, since the bwd previously
+    just recomputed this exact array from the saved (loc, aw)."""
     Lq = sampling_locations.shape[1]
     L = len(spatial_shapes)
-    BM = B * M
-    vb = value.transpose(0, 2, 1, 3).reshape(BM, S, D)
-    vb = jnp.pad(vb, [(0, 0), (0, G * gw - S), (0, 0)])
+    BM = sampling_locations.shape[0] * sampling_locations.shape[2]
     loc = sampling_locations.transpose(0, 2, 1, 3, 4, 5).reshape(
         BM, Lq, L, -1, 2).astype(jnp.float32)
     aw = attention_weights.transpose(0, 2, 1, 3, 4).reshape(
@@ -182,11 +192,22 @@ def _fold_inputs(value, sampling_locations, attention_weights, spatial_shapes,
     for l, (H, W) in enumerate(spatial_shapes):
         cols += [loc[:, :, l, :, 0] * W - 0.5, loc[:, :, l, :, 1] * H - 0.5,
                  aw[:, :, l, :]]
-    f = jnp.concatenate(cols, axis=-1)
-    f = jnp.pad(f, [(0, 0), (0, Lqp - Lq), (0, 0)])
-    # factors ship TRANSPOSED (BM, F, Lqp): F≈12-36 on the sublane axis packs
+    # factors ship TRANSPOSED (BM, F, Lq): F≈12-36 on the sublane axis packs
     # ~8× denser than lane-padding F to 128; kernels re-transpose per tile
-    return vb, f.transpose(0, 2, 1)
+    return jnp.concatenate(cols, axis=-1).transpose(0, 2, 1)
+
+
+def _pad_factors(f, Lqp):
+    return jnp.pad(f, [(0, 0), (0, 0), (0, Lqp - f.shape[2])])
+
+
+def _fold_inputs(value, sampling_locations, attention_weights, spatial_shapes,
+                 Lqp, G, gw=_GW):
+    vb = _fold_value(value, G, gw)
+    f = _pad_factors(
+        _fold_factors(sampling_locations, attention_weights, spatial_shapes),
+        Lqp)
+    return vb, f
 
 
 def _level_factors(f, lvl, P):
@@ -921,15 +942,18 @@ def _map_args(maps, kind):
     return args, specs
 
 
-def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes):
+def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes,
+              return_f=False):
     B, S, M, D = value.shape
     Lq = sampling_locations.shape[1]
     P = sampling_locations.shape[4]
     BM = B * M
     TQ, Lqp = _prep_shapes(Lq)
     G, starts, maps = _plan(spatial_shapes, _GW_FWD)
-    vb, f = _fold_inputs(value, sampling_locations, attention_weights,
-                         spatial_shapes, Lqp, G, gw=_GW_FWD)
+    vb = _fold_value(value, G, gw=_GW_FWD)
+    f_raw = _fold_factors(sampling_locations, attention_weights,
+                          spatial_shapes)
+    f = _pad_factors(f_raw, Lqp)
 
     map_args, map_specs = _map_args(maps, "float")
     out = pl.pallas_call(
@@ -943,7 +967,8 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes):
         interpret=_interpret(),
     )(f, *map_args, vb)
     out = out[:, :Lq].reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
-    return out.reshape(B, Lq, M * D).astype(jnp.float32)
+    out = out.reshape(B, Lq, M * D).astype(jnp.float32)
+    return (out, f_raw) if return_f else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -955,23 +980,30 @@ def msda_pallas(value, sampling_locations, attention_weights, spatial_shapes):
 
 
 def _msda_fwd(value, sampling_locations, attention_weights, spatial_shapes):
-    out = _fwd_impl(value, sampling_locations, attention_weights,
-                    tuple(map(tuple, spatial_shapes)))
-    return out, (value, sampling_locations, attention_weights)
+    out, f = _fwd_impl(value, sampling_locations, attention_weights,
+                       tuple(map(tuple, spatial_shapes)), return_f=True)
+    # residuals: (value, packed factors f, two 0-sized dtype carriers) — NOT
+    # the raw (loc, aw): the backward only ever consumed their _fold_factors
+    # image, and f is ~7-10× smaller than fp32 loc+aw at flagship shapes
+    # (~2.7 GB/step of residuals saved; identical numerics)
+    return out, (value, f,
+                 jnp.zeros((0,), sampling_locations.dtype),
+                 jnp.zeros((0,), attention_weights.dtype))
 
 
 def _msda_bwd(spatial_shapes, res, grad):
-    value, sampling_locations, attention_weights = res
+    value, f_raw, loc_dt, aw_dt = res
     spatial_shapes = tuple(map(tuple, spatial_shapes))
     B, S, M, D = value.shape
-    Lq, L, P = (sampling_locations.shape[1], sampling_locations.shape[3],
-                sampling_locations.shape[4])
+    L = len(spatial_shapes)
+    Lq = f_raw.shape[2]
+    P = f_raw.shape[1] // (3 * L)
     BM = B * M
     TQ, Lqp = _prep_shapes(Lq)
     gw = _GW
     G, starts, maps = _plan(spatial_shapes, gw)
-    vb, f = _fold_inputs(value, sampling_locations, attention_weights,
-                         spatial_shapes, Lqp, G, gw=gw)
+    vb = _fold_value(value, G, gw=gw)
+    f = _pad_factors(f_raw, Lqp)
     g = grad.reshape(B, Lq, M, D).transpose(0, 2, 1, 3).reshape(BM, Lq, D)
     # ship g (and the dq outputs) in value.dtype: halves the whole-Lqp VMEM
     # blocks on the bf16 path; the fp32 parity path is unchanged
@@ -1028,8 +1060,8 @@ def _msda_bwd(spatial_shapes, res, grad):
 
         dloc = jnp.stack([unfold_qm(dx), unfold_qm(dy)], axis=-1)
         daw = unfold_qm(da)
-        return (dv.astype(value.dtype), dloc.astype(sampling_locations.dtype),
-                daw.astype(attention_weights.dtype))
+        return (dv.astype(value.dtype), dloc.astype(loc_dt.dtype),
+                daw.astype(aw_dt.dtype))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, spatial_shapes, G, starts, TQd,
                           Lqp // TQd, P, value.dtype, gw),
@@ -1066,8 +1098,8 @@ def _msda_bwd(spatial_shapes, res, grad):
 
     dloc = jnp.stack([unfold_q(dx), unfold_q(dy)], axis=-1)
     daw = unfold_q(da)
-    return (dv.astype(value.dtype), dloc.astype(sampling_locations.dtype),
-            daw.astype(attention_weights.dtype))
+    return (dv.astype(value.dtype), dloc.astype(loc_dt.dtype),
+            daw.astype(aw_dt.dtype))
 
 
 msda_pallas.defvjp(_msda_fwd, _msda_bwd)
