@@ -968,7 +968,7 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes,
     )(f, *map_args, vb)
     out = out[:, :Lq].reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
     out = out.reshape(B, Lq, M * D).astype(jnp.float32)
-    return (out, f_raw) if return_f else out
+    return (out, f_raw, vb) if return_f else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -980,34 +980,42 @@ def msda_pallas(value, sampling_locations, attention_weights, spatial_shapes):
 
 
 def _msda_fwd(value, sampling_locations, attention_weights, spatial_shapes):
-    out, f = _fwd_impl(value, sampling_locations, attention_weights,
-                       tuple(map(tuple, spatial_shapes)), return_f=True)
-    # residuals: (value, packed factors f, two 0-sized dtype carriers) — NOT
-    # the raw (loc, aw): the backward only ever consumed their _fold_factors
-    # image, and f is ~7-10× smaller than fp32 loc+aw at flagship shapes
-    # (~2.7 GB/step of residuals saved; identical numerics)
-    return out, (value, f,
+    out, f, vb = _fwd_impl(value, sampling_locations, attention_weights,
+                           tuple(map(tuple, spatial_shapes)), return_f=True)
+    # residuals: (folded value block, packed factors f, dtype carriers) — NOT
+    # the raw (value, loc, aw): the backward only ever consumed their
+    # _fold_value/_fold_factors images (f is ~7-10× smaller than fp32 loc+aw
+    # at flagship shapes — ~2.7 GB/step of residuals saved), and reusing the
+    # forward's vb kills a 58-231 MB relayout per call in the backward
+    # (identical numerics in all cases)
+    return out, (vb, f,
                  jnp.zeros((0,), sampling_locations.dtype),
                  jnp.zeros((0,), attention_weights.dtype))
 
 
 def _msda_bwd(spatial_shapes, res, grad):
-    value, f_raw, loc_dt, aw_dt = res
+    vb, f_raw, loc_dt, aw_dt = res
     spatial_shapes = tuple(map(tuple, spatial_shapes))
-    B, S, M, D = value.shape
+    S = sum(h * w for h, w in spatial_shapes)
     L = len(spatial_shapes)
+    D = vb.shape[2]
+    B = grad.shape[0]
+    M = grad.shape[2] // D
     Lq = f_raw.shape[2]
     P = f_raw.shape[1] // (3 * L)
     BM = B * M
     TQ, Lqp = _prep_shapes(Lq)
     gw = _GW
     G, starts, maps = _plan(spatial_shapes, gw)
-    vb = _fold_value(value, G, gw=gw)
+    # the forward's vb is flat-padded to round_up(S, _GW_FWD); extend the tail
+    # zeros if the bwd group width needs more (equal at all flagship shapes)
+    if vb.shape[1] < G * gw:
+        vb = jnp.pad(vb, [(0, 0), (0, G * gw - vb.shape[1]), (0, 0)])
     f = _pad_factors(f_raw, Lqp)
     g = grad.reshape(B, Lq, M, D).transpose(0, 2, 1, 3).reshape(BM, Lq, D)
-    # ship g (and the dq outputs) in value.dtype: halves the whole-Lqp VMEM
+    # ship g (and the dq outputs) in vb.dtype: halves the whole-Lqp VMEM
     # blocks on the bf16 path; the fp32 parity path is unchanged
-    g = jnp.pad(g.astype(value.dtype), [(0, 0), (0, Lqp - Lq), (0, 0)])
+    g = jnp.pad(g.astype(vb.dtype), [(0, 0), (0, Lqp - Lq), (0, 0)])
 
     map_args, map_specs = _map_args(maps, "int")
     # the dq kernel keeps ~6 (TQ, 1024) factor tensors live — halve its tile
@@ -1036,12 +1044,12 @@ def _msda_bwd(spatial_shapes, res, grad):
             kern = _bwd_merged_kernel
         dq, dv = pl.pallas_call(
             functools.partial(kern, spatial_shapes, G, starts,
-                              TQd, Lqp // TQd, P, value.dtype, transposed, gw),
+                              TQd, Lqp // TQd, P, vb.dtype, transposed, gw),
             grid=(BM,),
             in_specs=in_specs,
             out_specs=[_fspec(3 * L * P, Lqp), dv_spec],
-            out_shape=[jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), value.dtype),
-                       jax.ShapeDtypeStruct(dv_shape, value.dtype)],
+            out_shape=[jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), vb.dtype),
+                       jax.ShapeDtypeStruct(dv_shape, vb.dtype)],
             # the flagship CAViT instance needs ~17.1 MB scoped VMEM — above
             # Mosaic's 16 MB default but well within the chip's physical VMEM
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2 ** 20),
@@ -1060,16 +1068,16 @@ def _msda_bwd(spatial_shapes, res, grad):
 
         dloc = jnp.stack([unfold_qm(dx), unfold_qm(dy)], axis=-1)
         daw = unfold_qm(da)
-        return (dv.astype(value.dtype), dloc.astype(loc_dt.dtype),
+        return (dv.astype(vb.dtype), dloc.astype(loc_dt.dtype),
                 daw.astype(aw_dt.dtype))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, spatial_shapes, G, starts, TQd,
-                          Lqp // TQd, P, value.dtype, gw),
+                          Lqp // TQd, P, vb.dtype, gw),
         grid=(BM,),
         in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
         + [_full_spec(G * gw, D), _full_spec(Lqp, D)],
         out_specs=_fspec(3 * L * P, Lqp),
-        out_shape=jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), value.dtype),
+        out_shape=jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), vb.dtype),
         interpret=_interpret(),
     )(f, *map_args, vb, g)
     dq = dq.astype(jnp.float32).transpose(0, 2, 1)
@@ -1081,7 +1089,7 @@ def _msda_bwd(spatial_shapes, res, grad):
     fmap_args, fmap_specs = _map_args(maps, "float")
     dv = pl.pallas_call(
         functools.partial(_bwd_dv_kernel, spatial_shapes, G, starts, TQ,
-                          Lqp // TQ, P, value.dtype, gw),
+                          Lqp // TQ, P, vb.dtype, gw),
         grid=(BM,),
         in_specs=[_fspec(f.shape[1], Lqp)] + fmap_specs
         + [_full_spec(Lqp, D)],
@@ -1098,7 +1106,7 @@ def _msda_bwd(spatial_shapes, res, grad):
 
     dloc = jnp.stack([unfold_q(dx), unfold_q(dy)], axis=-1)
     daw = unfold_q(da)
-    return (dv.astype(value.dtype), dloc.astype(loc_dt.dtype),
+    return (dv.astype(vb.dtype), dloc.astype(loc_dt.dtype),
             daw.astype(aw_dt.dtype))
 
 
