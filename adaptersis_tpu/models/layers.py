@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.fused_mlp import fused_ln_mlp
 from ..ops.layernorm import fused_layernorm
 
 Dtype = Any
@@ -136,6 +137,62 @@ class LayerScale(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         gamma = self.param("gamma", nn.initializers.constant(self.init_values), (self.dim,), jnp.float32)
         return x * gamma.astype(x.dtype)
+
+
+class _DenseParams(nn.Module):
+    """Owns nn.Dense-shaped params (kernel/bias, same names, shapes and init)
+    without computing — the fused-MLP kernel consumes them raw, so checkpoints
+    and transplants are byte-compatible with the unfused tree."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_dim, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _MlpParams(nn.Module):
+    """Mlp-shaped param tree (fc1/fc2) for the fused kernel path."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        k2, b2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return k1, b1, k2, b2
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm-shaped param pair (scale/bias) for the fused kernel path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,),
+                       jnp.float32)
+        return s, b
+
+
+class _ScaleParams(nn.Module):
+    """LayerScale-shaped gamma for the fused kernel path."""
+
+    dim: int
+    init_values: float
+
+    @nn.compact
+    def __call__(self):
+        return self.param("gamma", nn.initializers.constant(self.init_values),
+                          (self.dim,), jnp.float32)
 
 
 def drop_path(x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.Array]) -> jax.Array:
@@ -319,6 +376,10 @@ class Block(nn.Module):
     window_size: int = 14
     gelu_approx: bool = False    # tanh GELU (see Mlp)
     ln_impl: str = "xla"         # "xla" | "pallas" (ops/layernorm.py fused kernel)
+    mlp_impl: str = "xla"        # "xla" | "pallas" (ops/fused_mlp.py: one kernel
+                                 # for LN2→fc1→gelu→fc2→LayerScale→residual;
+                                 # requires ffn_layer="mlp" + gelu_approx +
+                                 # LayerScale — falls back to the XLA path else)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -341,6 +402,15 @@ class Block(nn.Module):
                       dtype=self.dtype, name="attn")(h, hw=hw,
                                                      segment_ids=segment_ids)
         x = x + ls("ls1", h)
+        if (self.mlp_impl == "pallas" and self.ffn_layer == "mlp"
+                and self.gelu_approx and self.init_values is not None):
+            # one Pallas kernel for the whole MLP half; the param-holder
+            # modules keep the tree identical to the unfused path
+            s2, be2 = _LNParams(self.dim, name="norm2")()
+            k1, b1, k2, b2 = _MlpParams(
+                self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
+            gamma = _ScaleParams(self.dim, self.init_values, name="ls2")()
+            return fused_ln_mlp(x, s2, be2, k1, b1, k2, b2, gamma)
         h = layer_norm(self.ln_impl, self.dtype, "norm2")(x)
         if self.ffn_layer == "swiglufused":
             h = SwiGLUFFNFused(self.dim, dtype=self.dtype, name="mlp")(h)

@@ -56,6 +56,9 @@ class DinoVisionTransformer(nn.Module):
     # the frozen walks apply ~100 LNs/step, each ~1.2 ms as XLA convert_reduce
     # fusions at the flagship (28672, 1024) shape vs ~0.15 ms HBM-bound
     ln_impl: str = "xla"
+    # "xla" | "pallas" — one fused kernel for the block's whole MLP half
+    # (ops/fused_mlp.py); requires gelu_approx, ffn "mlp" and LayerScale
+    mlp_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -83,6 +86,7 @@ class DinoVisionTransformer(nn.Module):
                 window_size=self.window_size,
                 gelu_approx=self.gelu_approx,
                 ln_impl=self.ln_impl,
+                mlp_impl=self.mlp_impl,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )
