@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.fused_mlp import fused_ln_mlp
+from ..ops.fused_qkv import fused_ln_qkv
 from ..ops.layernorm import fused_layernorm
 
 Dtype = Any
@@ -195,6 +196,19 @@ class _ScaleParams(nn.Module):
                           (self.dim,), jnp.float32)
 
 
+class _AttnParams(nn.Module):
+    """Attention-shaped param tree (qkv/proj Dense pairs) for the fused
+    LN+QKV kernel path (ops/fused_qkv.py)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        kq, bq = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        kp, bp = _DenseParams(self.dim, self.dim, name="proj")()
+        return kq, bq, kp, bp
+
+
 def drop_path(x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.Array]) -> jax.Array:
     """Per-sample stochastic depth (reference: backbones/adapter_blocks.py:41-49)."""
     if deterministic or rate == 0.0:
@@ -225,6 +239,31 @@ def _flash_blocks(np_len: int) -> Tuple[int, int]:
             break
     bk = np_len if np_len <= 2048 and np_len != bq else bq
     return bq, bk
+
+
+def _flash_bhnd(q, k, v, scale, N, segment_ids=None):
+    """Flash attention on (B, H, Np, Dh) tensors (already in kernel layout —
+    the fused LN+QKV path); N = real token count for the padding mask."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    B, H, Np0, Dh = q.shape
+    Np = -(-Np0 // 128) * 128
+    if Np != Np0:
+        pad = ((0, 0), (0, 0), (0, Np - Np0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    if segment_ids is None:
+        ids = (jnp.arange(Np) < N).astype(jnp.int32)[None, :]
+        ids = jnp.broadcast_to(ids, (B, Np))
+    else:
+        ids = jnp.pad(segment_ids.astype(jnp.int32),
+                      ((0, 0), (0, Np - segment_ids.shape[1])),
+                      constant_values=-1)
+    bq, bk = _flash_blocks(Np)
+    return flash_attention(
+        q, k, v, segment_ids=SegmentIds(q=ids, kv=ids), sm_scale=scale,
+        block_sizes=BlockSizes(block_q=bq, block_k_major=bk, block_k=bk,
+                               block_b=1))
 
 
 def _sdpa_flash(q, k, v, scale, segment_ids=None):
@@ -380,6 +419,10 @@ class Block(nn.Module):
                                  # for LN2→fc1→gelu→fc2→LayerScale→residual;
                                  # requires ffn_layer="mlp" + gelu_approx +
                                  # LayerScale — falls back to the XLA path else)
+    qkv_impl: str = "xla"        # "xla" | "pallas" (ops/fused_qkv.py: fused
+                                 # LN1+qkv+head-split emitting flash-layout
+                                 # q/k/v; requires attn_impl="flash", falls
+                                 # back otherwise)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -392,16 +435,35 @@ class Block(nn.Module):
                 return y
             return LayerScale(self.dim, self.init_values, name=name)(y)
 
-        h = layer_norm(self.ln_impl, self.dtype, "norm1")(x)
-        if return_attention:
-            # attention-map hook for visualization (root vision_transformer.py:80-92)
-            _, attn = Attention(self.num_heads, dtype=self.dtype, name="attn")(h, return_attn=True)
-            return attn
-        h = Attention(self.num_heads, attn_impl=self.attn_impl,
-                      windowed=self.windowed, window_size=self.window_size,
-                      dtype=self.dtype, name="attn")(h, hw=hw,
-                                                     segment_ids=segment_ids)
-        x = x + ls("ls1", h)
+        if (self.qkv_impl == "pallas" and self.attn_impl == "flash"
+                and not self.windowed and not return_attention):
+            # fused LN1+qkv+head-split kernel emits q/k/v straight in the
+            # flash (B, H, N, Dh) layout; the output projection contracts
+            # (h, d) directly so no relayout ever materializes
+            B, N, C = x.shape
+            H = self.num_heads
+            Dh = C // H
+            s1, be1 = _LNParams(self.dim, name="norm1")()
+            kq, bq, kp, bp = _AttnParams(self.dim, name="attn")()
+            q, k, v = fused_ln_qkv(x, s1, be1, kq, bq, H)
+            out = _flash_bhnd(q, k, v, 1.0 / math.sqrt(Dh), N,
+                              segment_ids=segment_ids)[:, :, :N]
+            h = jnp.einsum("bhnd,hdc->bnc", out.astype(self.dtype),
+                           kp.reshape(H, Dh, C).astype(self.dtype))
+            h = h + bp.astype(self.dtype)
+            x = x + ls("ls1", h)
+        else:
+            h = layer_norm(self.ln_impl, self.dtype, "norm1")(x)
+            if return_attention:
+                # attention-map hook (root vision_transformer.py:80-92)
+                _, attn = Attention(self.num_heads, dtype=self.dtype,
+                                    name="attn")(h, return_attn=True)
+                return attn
+            h = Attention(self.num_heads, attn_impl=self.attn_impl,
+                          windowed=self.windowed, window_size=self.window_size,
+                          dtype=self.dtype, name="attn")(h, hw=hw,
+                                                         segment_ids=segment_ids)
+            x = x + ls("ls1", h)
         if (self.mlp_impl == "pallas" and self.ffn_layer == "mlp"
                 and self.gelu_approx and self.init_values is not None):
             # one Pallas kernel for the whole MLP half; the param-holder

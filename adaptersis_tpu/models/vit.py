@@ -59,6 +59,9 @@ class DinoVisionTransformer(nn.Module):
     # "xla" | "pallas" — one fused kernel for the block's whole MLP half
     # (ops/fused_mlp.py); requires gelu_approx, ffn "mlp" and LayerScale
     mlp_impl: str = "xla"
+    # "xla" | "pallas" — fused LN1+qkv+head-split kernel emitting q/k/v in
+    # the flash layout (ops/fused_qkv.py); requires attn_impl="flash"
+    qkv_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -87,6 +90,7 @@ class DinoVisionTransformer(nn.Module):
                 gelu_approx=self.gelu_approx,
                 ln_impl=self.ln_impl,
                 mlp_impl=self.mlp_impl,
+                qkv_impl=self.qkv_impl,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

@@ -72,6 +72,7 @@ def main() -> None:
                               # fused LN→fc1→gelu→fc2→ls2→residual kernel
                               # (ops/fused_mlp.py); ASN_MLP=xla A/Bs it off
                               mlp_impl=os.environ.get("ASN_MLP", "pallas"),
+                              qkv_impl=os.environ.get("ASN_QKV", "pallas"),
                               dtype=jnp.bfloat16)
     # pad_walks default None = auto-on with flash attention (walks pre-padded
     # to 1792 tokens once instead of per-layer pad/slice); ASN_PAD_WALKS=0 A/Bs

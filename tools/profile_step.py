@@ -37,6 +37,7 @@ def main():
     backbone = build_backbone("vit_large", img_size=518, patch_size=14,
                               attn_impl="flash", gelu_approx=True,
                               mlp_impl=os.environ.get("ASN_MLP", "pallas"),
+                              qkv_impl=os.environ.get("ASN_QKV", "pallas"),
                               dtype=jnp.bfloat16)
     model = AdapterSegmentor(
         backbone=backbone, num_classes=2, n_last_blocks=4, msda_impl="pallas",
