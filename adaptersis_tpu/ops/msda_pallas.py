@@ -68,7 +68,11 @@ _GW_FWD = 512    # fwd kernel group width — measured 28.8→23.2 ms/call (CAVi
                  # flagship geometry): smaller tiles skip more, and the fwd
                  # does only ONE dot per group so the extra fixed dot cost is
                  # cheap; the bwd's many dots prefer 1024 (115.6 vs 104.6)
-_TQ = 128        # query-tile rows
+_TQ = 128        # query-tile rows, fwd AND bwd. Bigger fwd tiles were
+                 # hypothesised to amortise per-tile fixed cost at CACNN's
+                 # Lq=9261 (73 tiles) but LOSE on measurement — the coarser
+                 # locality skip dominates: CACNN fwd 18.9 ms at 128,
+                 # 21.2 at 512, 35.1 at 256; CAViT 15.1 at 128, 19.5 at 256.
 _SENTINEL = -(2 ** 30)
 
 # Tests force interpret mode explicitly; None → interpret off TPU backends.
@@ -766,6 +770,8 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                     u = jax.lax.dot_general(
                         gb, vblk, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                if _ABLATE == "noudot":  # WRONG NUMERICS: timing only
+                    u = gb[:, :1] * jnp.ones((TQ, gw), jnp.float32)
                 ub = u.astype(a_dtype)
                 a = jnp.zeros((TQ, gw), a_dtype)
                 for lvl, (x0, fx, y0, fy, aw, x, y) in enumerate(facs):
@@ -798,21 +804,32 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                             zero = jnp.zeros((), a_dtype)
                             ps += [jnp.where(m0, ub, zero),
                                    jnp.where(m1, ub, zero)]
+                        if _ABLATE == "nozdot":  # WRONG NUMERICS: timing only
+                            return a, tuple(S3)
                         z = jax.lax.dot_general(
                             jnp.concatenate(ps, axis=0), cwt,
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (2P·TQ, 128)
                         zids = jax.lax.broadcasted_iota(
                             jnp.int32, (TQ, 128), 1)
+                        if _ABLATE == "nocorner":  # WRONG NUMERICS
+                            S3[0] = S3[0] + z[:TQ, :1]
+                            return a, tuple(S3)
+                        # Corner reads as masked 128-lane reduces on the small
+                        # z tiles, PER POINT. Measured dead ends here (round
+                        # 3): (a) dynamic_gather ~4x slower; (b) stacking all
+                        # 4P corner reads into (2P*TQ, 1) column algebra
+                        # (pair-sum identities, one mask set over the full z)
+                        # is 60% SLOWER (132/76 vs 81/59 ms) - (N, 1) tiles
+                        # are sublane-only vregs at 1/128 lane utilization, so
+                        # "fewer, bigger" column ops are actually 8x more
+                        # vreg work. Out-of-range corners match no lane -> 0.
                         for p in range(P):
                             z0 = z[(2 * p) * TQ:(2 * p + 1) * TQ]
                             z1 = z[(2 * p + 1) * TQ:(2 * p + 2) * TQ]
                             x0p = x0[:, p:p + 1]
                             fxp = fx[:, p:p + 1]
                             fyp = fy[:, p:p + 1]
-                            # corner reads as masked 128-lane reduces on the
-                            # small z tiles (dynamic_gather measured ~4× slower
-                            # here; out-of-range corners match no lane → 0)
                             m0 = zids == x0p
                             m1 = zids == x0p + 1
                             zero = jnp.zeros((), jnp.float32)
@@ -826,12 +843,15 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                                           axis=1, keepdims=True)
                             gy = 1.0 - fyp
                             gx = 1.0 - fxp
-                            S3[p] = S3[p] + (gy * (gx * u00 + fxp * u01)
-                                             + fyp * (gx * u10 + fxp * u11))
+                            # t1 - t0 == gx(u10-u00) + fx(u11-u01): dy rides
+                            # the same interpolants as da (saves ~7 VPU ops
+                            # per point in this issue-bound epilogue)
+                            t0 = gx * u00 + fxp * u01
+                            t1 = gx * u10 + fxp * u11
+                            S3[p] = S3[p] + (gy * t0 + fyp * t1)
                             S3[P + p] = S3[P + p] + (gy * (u01 - u00)
                                                      + fyp * (u11 - u10))
-                            S3[2 * P + p] = S3[2 * P + p] + (gx * (u10 - u00)
-                                                             + fxp * (u11 - u01))
+                            S3[2 * P + p] = S3[2 * P + p] + (t1 - t0)
                         return a, tuple(S3)
 
                     base = lvl * 3 * P
@@ -839,7 +859,9 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                     a, S3 = jax.lax.cond(_active(spans[lvl], g, gw), build,
                                          lambda c: c, (a, S3))
                     S[base:base + 3 * P] = list(S3)
-                if transposed:
+                if _ABLATE == "nodvdot":  # WRONG NUMERICS
+                    pass
+                elif transposed:
                     dv_ref[0, :, pl.ds(rows, gw)] += jnp.dot(
                         gbt, a, preferred_element_type=jnp.float32
                     ).astype(dv_ref.dtype)

@@ -49,8 +49,17 @@ def bench(name, shapes, Lq, query_shapes):
     aw = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, L, P)), jnp.float32)
     g = jnp.asarray(rng.standard_normal((B, Lq, M * D)), jnp.float32)
 
-    bwd = jax.jit(lambda v_, l_, w_, g_: mp._msda_bwd(
-        tuple(shapes), (v_, l_, w_), g_))
+    def bwd_fn(v_, l_, w_, g_):
+        # build the residuals the VJP would have saved (vb folded at the fwd
+        # group width, unpadded packed factors, dtype carriers)
+        TQ, Lqp = mp._prep_shapes(Lq)
+        Gf, _, _ = mp._plan(tuple(shapes), mp._GW_FWD)
+        vb = mp._fold_value(v_, Gf, gw=mp._GW_FWD)
+        f = mp._fold_factors(l_, w_, tuple(shapes))
+        res = (vb, f, jnp.zeros((0,), l_.dtype), jnp.zeros((0,), w_.dtype))
+        return mp._msda_bwd(tuple(shapes), res, g_)
+
+    bwd = jax.jit(bwd_fn)
     ms = timeit(bwd, v, loc, aw, g)
     print(f"{name:8s} bwd-only {ms:7.2f} ms")
 
