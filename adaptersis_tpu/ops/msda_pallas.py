@@ -734,8 +734,18 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
 
     Eligibility: every level width ≤ 126 so out-of-range corner columns can be
     redirected to the guaranteed-zero lane 127 (flagship widths: 73/37/19/42).
-    The wrapper falls back to the u-form kernel otherwise."""
+    The wrapper falls back to the u-form kernel otherwise.
+
+    Accumulator state: the 3·P·L per-(point, variant) partial sums live in a
+    VMEM SCRATCH ref (zeroed per query tile), NOT in the fori_loop/cond carry.
+    Carrying them as a 36-tuple of (TQ, 1) tiles measured ~3× the whole
+    kernel's useful work: every lax.cond boundary at every (tile, group) step
+    pays a per-carried-tile select/spill, and the ablation sweep showed the
+    kernel time was INVARIANT to removing the math (u dot, reduces, dV dot)
+    while keeping the carries — the carries were the bottleneck, exactly like
+    dv_ref's revisit accumulation which always used a ref."""
     L = len(spatial_shapes)
+    F3 = 3 * L * P
     fref = refs[0]
     maps = refs[1:1 + _NM * L]
     vref = refs[1 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
@@ -747,6 +757,7 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     else:
         dq_ref = refs[3 + _NM * L]
         dv_ref = refs[4 + _NM * L]  # (1, G·GW, D)
+    sref = refs[-1]                # scratch (F3, TQ, 1) f32
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     def tile(qt, _):
@@ -755,10 +766,10 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
         gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)        # (TQ, D)
         gbt = (gtref[0, :, pl.ds(ts, TQ)].astype(a_dtype)     # (D, TQ)
                if transposed else None)
+        sref[...] = jnp.zeros((F3, TQ, 1), jnp.float32)
 
-        def group(g, S):
-            def run(S):
-                S = list(S)
+        def group(g, _):
+            def run(_):
                 rows = pl.multiple_of(g * gw, gw)
                 vblk = (vref[0, :, pl.ds(rows, gw)] if transposed
                         else vref[0, pl.ds(rows, gw), :]).astype(a_dtype)
@@ -771,14 +782,17 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                         gb, vblk, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                 if _ABLATE == "noudot":  # WRONG NUMERICS: timing only
-                    u = gb[:, :1] * jnp.ones((TQ, gw), jnp.float32)
+                    # lane-varying iota: a replicated broadcast here trips a
+                    # Mosaic i1-relayout bug in the downstream compares
+                    u = gb[:, :1] * jax.lax.broadcasted_iota(
+                        jnp.int32, (TQ, gw), 1).astype(jnp.float32)
                 ub = u.astype(a_dtype)
                 a = jnp.zeros((TQ, gw), a_dtype)
                 for lvl, (x0, fx, y0, fy, aw, x, y) in enumerate(facs):
-                    def build(carry, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
-                              aw=aw, x=x, y=y):
-                        a, S3 = carry
-                        S3 = list(S3)
+                    base = lvl * 3 * P
+
+                    def build(a, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
+                              aw=aw, x=x, y=y, base=base):
                         hrow, wcol = _slice_maps(maps, lvl, g)
                         wids = jax.lax.broadcasted_iota(
                             jnp.int32, (128, gw), 0)
@@ -805,7 +819,7 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                             ps += [jnp.where(m0, ub, zero),
                                    jnp.where(m1, ub, zero)]
                         if _ABLATE == "nozdot":  # WRONG NUMERICS: timing only
-                            return a, tuple(S3)
+                            return a
                         z = jax.lax.dot_general(
                             jnp.concatenate(ps, axis=0), cwt,
                             (((1,), (1,)), ((), ())),
@@ -813,8 +827,8 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                         zids = jax.lax.broadcasted_iota(
                             jnp.int32, (TQ, 128), 1)
                         if _ABLATE == "nocorner":  # WRONG NUMERICS
-                            S3[0] = S3[0] + z[:TQ, :1]
-                            return a, tuple(S3)
+                            sref[base] = sref[base] + z[:TQ, :1]
+                            return a
                         # Corner reads as masked 128-lane reduces on the small
                         # z tiles, PER POINT. Measured dead ends here (round
                         # 3): (a) dynamic_gather ~4x slower; (b) stacking all
@@ -848,17 +862,16 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                             # per point in this issue-bound epilogue)
                             t0 = gx * u00 + fxp * u01
                             t1 = gx * u10 + fxp * u11
-                            S3[p] = S3[p] + (gy * t0 + fyp * t1)
-                            S3[P + p] = S3[P + p] + (gy * (u01 - u00)
-                                                     + fyp * (u11 - u10))
-                            S3[2 * P + p] = S3[2 * P + p] + (t1 - t0)
-                        return a, tuple(S3)
+                            sref[base + p] = sref[base + p] + (gy * t0
+                                                               + fyp * t1)
+                            sref[base + P + p] = sref[base + P + p] + (
+                                gy * (u01 - u00) + fyp * (u11 - u10))
+                            sref[base + 2 * P + p] = (sref[base + 2 * P + p]
+                                                      + (t1 - t0))
+                        return a
 
-                    base = lvl * 3 * P
-                    S3 = tuple(S[base:base + 3 * P])
-                    a, S3 = jax.lax.cond(_active(spans[lvl], g, gw), build,
-                                         lambda c: c, (a, S3))
-                    S[base:base + 3 * P] = list(S3)
+                    a = jax.lax.cond(_active(spans[lvl], g, gw), build,
+                                     lambda a: a, a)
                 if _ABLATE == "nodvdot":  # WRONG NUMERICS
                     pass
                 elif transposed:
@@ -870,21 +883,20 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                         a, gb, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32
                     ).astype(dv_ref.dtype)
-                return tuple(S)
+                return 0
 
-            return jax.lax.cond(_any_hit(spans, g, gw), run, lambda S: tuple(S),
-                                tuple(S))
+            return jax.lax.cond(_any_hit(spans, g, gw), run, lambda _: 0, 0)
 
-        S = jax.lax.fori_loop(
-            0, G, group,
-            tuple(jnp.zeros((TQ, 1), jnp.float32) for _ in range(3 * P * L)))
+        jax.lax.fori_loop(0, G, group, 0)
         dxs, dys, das = [], [], []
         for lvl, (H, W) in enumerate(spatial_shapes):
             aw = facs[lvl][4]
             base = lvl * 3 * P
-            da = jnp.concatenate([S[base + p] for p in range(P)], axis=1)
-            dx = jnp.concatenate([S[base + P + p] for p in range(P)], axis=1)
-            dy = jnp.concatenate([S[base + 2 * P + p] for p in range(P)], axis=1)
+            da = jnp.concatenate([sref[base + p] for p in range(P)], axis=1)
+            dx = jnp.concatenate([sref[base + P + p] for p in range(P)],
+                                 axis=1)
+            dy = jnp.concatenate([sref[base + 2 * P + p] for p in range(P)],
+                                 axis=1)
             das.append(da)
             dxs.append(dx * aw * W)
             dys.append(dy * aw * H)
@@ -1072,6 +1084,10 @@ def _msda_bwd(spatial_shapes, res, grad):
             out_specs=[_fspec(3 * L * P, Lqp), dv_spec],
             out_shape=[jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), vb.dtype),
                        jax.ShapeDtypeStruct(dv_shape, vb.dtype)],
+            # (3LP, TQ, 1) accumulator scratch for the gather kernel (the
+            # uform/plain merged kernels receive and ignore it) — see the
+            # gather kernel's docstring on why this must NOT be a loop carry
+            scratch_shapes=[pltpu.VMEM((3 * L * P, TQd, 1), jnp.float32)],
             # the flagship CAViT instance needs ~17.1 MB scoped VMEM — above
             # Mosaic's 16 MB default but well within the chip's physical VMEM
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2 ** 20),
