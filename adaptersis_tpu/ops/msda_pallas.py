@@ -294,8 +294,23 @@ def _active(span, g, gw=_GW):
     return (s_hi >= g * gw) & (s_lo < (g + 1) * gw)
 
 
-def _tile_state(fref, ts, TQ, spatial_shapes, starts, P):
-    """Per-query-tile factors + activation spans for every level."""
+def _tile_state(fref, ts, TQ, spatial_shapes, starts, P, pre_t=False):
+    """Per-query-tile factors + activation spans for every level.
+
+    pre_t: fref is a 2D (Lqp, F) VMEM scratch — queries on sublanes, filled by
+    ONE whole-block transpose per grid instance — so the tile read is a plain
+    row slice. The per-tile (F, TQ)→(TQ, F) transpose this replaces measured
+    ~4.6 µs PER TILE (~8 ms/call at flagship, 20% of the whole backward);
+    shipping the factors pre-transposed from XLA instead measured WORSE
+    (+6-8 ms: lane-padding 36→128 quadruples the f block's DMA bytes)."""
+    if pre_t:
+        # spans are NOT computed: the merged kernels read precomputed
+        # activation bits from SMEM instead (see _activation_table) — the
+        # per-(tile, level) jnp.min/jnp.max-to-scalar reductions these conds
+        # needed measured ~20% of the whole backward
+        f = fref[pl.ds(ts, TQ), :]
+        return [_level_factors(f, l, P)
+                for l in range(len(spatial_shapes))], None
     f = fref[0, :, pl.ds(ts, TQ)].T
     facs = [_level_factors(f, l, P) for l in range(len(spatial_shapes))]
     spans = [_corner_span(fc[0], fc[2], H, W, st)
@@ -321,6 +336,37 @@ def _build_a(facs, spans, maps, g, TQ, P, gw=_GW):
 def _any_hit(spans, g, gw=_GW):
     return functools.reduce(jnp.logical_or,
                             [_active(s, g, gw) for s in spans])
+
+
+def _activation_table(f, spatial_shapes, starts, TQ, G, gw):
+    """(BM, nQ, L+1, G) i32 locality-skip table, computed in XLA.
+
+    Row lvl<L: tile qt's corner-index interval intersects group g at level
+    lvl (exactly `_active(_corner_span(...))`); row L: any level hits. The
+    merged kernels read these as SMEM scalars for their lax.cond predicates —
+    computing the spans in-kernel needs two jnp.min/max-to-scalar vector
+    reductions per (tile, level), which measured ~8 ms/call at flagship
+    (Mosaic's vector→scalar path), vs ~50 µs once here in XLA."""
+    BM, F, Lqp = f.shape
+    L = len(spatial_shapes)
+    P = F // (3 * L)
+    nQ = Lqp // TQ
+    gidx = jnp.arange(G, dtype=jnp.int32) * gw
+    acts = []
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        b = lvl * 3 * P
+        x0 = jnp.floor(f[:, b:b + P]).astype(jnp.int32)          # (BM,P,Lqp)
+        y0 = jnp.floor(f[:, b + P:b + 2 * P]).astype(jnp.int32)
+        xl = jnp.clip(x0, -1, W)
+        yl = jnp.clip(y0, -1, H)
+        s_lo = (yl * W + xl).reshape(BM, P, nQ, TQ).min((1, 3)) + starts[lvl]
+        s_hi = ((yl + 1) * W + xl + 1).reshape(BM, P, nQ, TQ).max((1, 3)) \
+            + starts[lvl]
+        acts.append((s_hi[..., None] >= gidx)
+                    & (s_lo[..., None] < gidx + gw))             # (BM,nQ,G)
+    act = jnp.stack(acts, axis=2)                                # (BM,nQ,L,G)
+    anyh = jnp.any(act, axis=2, keepdims=True)
+    return jnp.concatenate([act, anyh], axis=2).astype(jnp.int32)
 
 
 def _fwd_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
@@ -475,21 +521,25 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     For D≥128-multiples the natural orientation is strictly smaller (no gT)."""
     L = len(spatial_shapes)
     fref = refs[0]
-    maps = refs[1:1 + _NM * L]
-    vref = refs[1 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
-    gref = refs[2 + _NM * L]       # (1, Lqp, D)
+    actref = refs[1]               # SMEM (1, nQ, L+1, G) activation table
+    maps = refs[2:2 + _NM * L]
+    vref = refs[2 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[3 + _NM * L]       # (1, Lqp, D)
     if transposed:
-        gtref = refs[3 + _NM * L]  # (1, D, Lqp)
-        dq_ref = refs[4 + _NM * L]
-        dv_ref = refs[5 + _NM * L]  # (1, D, G·GW)
+        gtref = refs[4 + _NM * L]  # (1, D, Lqp)
+        dq_ref = refs[5 + _NM * L]
+        dv_ref = refs[6 + _NM * L]  # (1, D, G·GW)
     else:
-        dq_ref = refs[3 + _NM * L]
-        dv_ref = refs[4 + _NM * L]  # (1, G·GW, D)
+        dq_ref = refs[4 + _NM * L]
+        dv_ref = refs[5 + _NM * L]  # (1, G·GW, D)
+    ftref = refs[-1]               # scratch (Lqp, F3) f32 — see _tile_state
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
+    ftref[...] = fref[0].T         # ONE whole-block transpose per instance
 
     def tile(qt, _):
         ts = pl.multiple_of(qt * TQ, TQ)
-        facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
+        facs, _sp = _tile_state(ftref, ts, TQ, spatial_shapes, starts, P,
+                                pre_t=True)
         gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)        # (TQ, D)
         gq = gb.astype(jnp.float32)
         gbt = (gtref[0, :, pl.ds(ts, TQ)].astype(a_dtype)     # (D, TQ)
@@ -532,7 +582,7 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
 
                     base = lvl * 3 * P
                     S3 = tuple(S[base:base + 3 * P])
-                    a, S3 = jax.lax.cond(_active(spans[lvl], g, gw), build,
+                    a, S3 = jax.lax.cond(actref[0, qt, lvl, g] != 0, build,
                                          lambda c: c, (a, S3))
                     S[base:base + 3 * P] = list(S3)
                 # ONE dV dot per active group, from the carried A-tile
@@ -547,8 +597,8 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                     ).astype(dv_ref.dtype)
                 return tuple(S)
 
-            return jax.lax.cond(_any_hit(spans, g, gw), run, lambda S: tuple(S),
-                                tuple(S))
+            return jax.lax.cond(actref[0, qt, L, g] != 0, run,
+                                lambda S: tuple(S), tuple(S))
 
         S = jax.lax.fori_loop(
             0, G, group,
@@ -590,21 +640,25 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     one ~2 µs dot per (group, level)."""
     L = len(spatial_shapes)
     fref = refs[0]
-    maps = refs[1:1 + _NM * L]
-    vref = refs[1 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
-    gref = refs[2 + _NM * L]       # (1, Lqp, D)
+    actref = refs[1]               # SMEM (1, nQ, L+1, G) activation table
+    maps = refs[2:2 + _NM * L]
+    vref = refs[2 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[3 + _NM * L]       # (1, Lqp, D)
     if transposed:
-        gtref = refs[3 + _NM * L]  # (1, D, Lqp)
-        dq_ref = refs[4 + _NM * L]
-        dv_ref = refs[5 + _NM * L]  # (1, D, G·GW)
+        gtref = refs[4 + _NM * L]  # (1, D, Lqp)
+        dq_ref = refs[5 + _NM * L]
+        dv_ref = refs[6 + _NM * L]  # (1, D, G·GW)
     else:
-        dq_ref = refs[3 + _NM * L]
-        dv_ref = refs[4 + _NM * L]  # (1, G·GW, D)
+        dq_ref = refs[4 + _NM * L]
+        dv_ref = refs[5 + _NM * L]  # (1, G·GW, D)
+    ftref = refs[-1]               # scratch (Lqp, F3) f32 — see _tile_state
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
+    ftref[...] = fref[0].T         # ONE whole-block transpose per instance
 
     def tile(qt, _):
         ts = pl.multiple_of(qt * TQ, TQ)
-        facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
+        facs, _sp = _tile_state(ftref, ts, TQ, spatial_shapes, starts, P,
+                                pre_t=True)
         gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)        # (TQ, D)
         gbt = (gtref[0, :, pl.ds(ts, TQ)].astype(a_dtype)     # (D, TQ)
                if transposed else None)
@@ -615,7 +669,7 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                 rows = pl.multiple_of(g * gw, gw)
                 vblk = (vref[0, :, pl.ds(rows, gw)] if transposed
                         else vref[0, pl.ds(rows, gw), :]).astype(a_dtype)
-                if _ABLATE == "noudot":
+                if "noudot" in _ABLATE:
                     u = jnp.broadcast_to(gb[:, 0:1].astype(jnp.float32),
                                          (gb.shape[0], gw))
                 elif transposed:   # (TQ,D)@(D,gw)
@@ -637,13 +691,13 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                         for p in range(P):
                             tx, ty, dtx, dty = _factors_t(
                                 hrow, wcol, x0, fx, y0, fy, p,
-                                _ABLATE != "nogradfac")
+                                "nogradfac" not in _ABLATE)
                             c = ty * tx
                             a = a + (aw[:, p:p + 1] * c).astype(a_dtype)
-                            if _ABLATE == "nogradfac":
+                            if "nogradfac" in _ABLATE:
                                 S3[p] = S3[p] + (u * c)[:, 0:1]
                                 continue
-                            if _ABLATE == "noreduce":
+                            if "noreduce" in _ABLATE:
                                 uy = u * ty
                                 S3[p] = S3[p] + (u * c)[:, 0:1]
                                 S3[P + p] = S3[P + p] + (uy * dtx)[:, 0:1]
@@ -678,10 +732,10 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
 
                     base = lvl * 3 * P
                     S3 = tuple(S[base:base + 3 * P])
-                    a, S3 = jax.lax.cond(_active(spans[lvl], g, gw), build,
+                    a, S3 = jax.lax.cond(actref[0, qt, lvl, g] != 0, build,
                                          lambda c: c, (a, S3))
                     S[base:base + 3 * P] = list(S3)
-                if _ABLATE == "nodv":
+                if "nodv" in _ABLATE:
                     pass
                 elif transposed:
                     dv_ref[0, :, pl.ds(rows, gw)] += jnp.dot(
@@ -694,8 +748,8 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                     ).astype(dv_ref.dtype)
                 return tuple(S)
 
-            return jax.lax.cond(_any_hit(spans, g, gw), run, lambda S: tuple(S),
-                                tuple(S))
+            return jax.lax.cond(actref[0, qt, L, g] != 0, run,
+                                lambda S: tuple(S), tuple(S))
 
         S = jax.lax.fori_loop(
             0, G, group,
@@ -747,22 +801,29 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     L = len(spatial_shapes)
     F3 = 3 * L * P
     fref = refs[0]
-    maps = refs[1:1 + _NM * L]
-    vref = refs[1 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
-    gref = refs[2 + _NM * L]       # (1, Lqp, D)
+    actref = refs[1]               # SMEM (1, nQ, L+1, G) activation table
+    maps = refs[2:2 + _NM * L]
+    vref = refs[2 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[3 + _NM * L]       # (1, Lqp, D)
     if transposed:
-        gtref = refs[3 + _NM * L]  # (1, D, Lqp)
-        dq_ref = refs[4 + _NM * L]
-        dv_ref = refs[5 + _NM * L]  # (1, D, G·GW)
+        gtref = refs[4 + _NM * L]  # (1, D, Lqp)
+        dq_ref = refs[5 + _NM * L]
+        dv_ref = refs[6 + _NM * L]  # (1, D, G·GW)
     else:
-        dq_ref = refs[3 + _NM * L]
-        dv_ref = refs[4 + _NM * L]  # (1, G·GW, D)
-    sref = refs[-1]                # scratch (F3, TQ, 1) f32
+        dq_ref = refs[4 + _NM * L]
+        dv_ref = refs[5 + _NM * L]  # (1, G·GW, D)
+    sref = refs[-2]                # scratch (F3, TQ, 1) f32
+    ftref = refs[-1]               # scratch (Lqp, F3) f32
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
+    ftref[...] = fref[0].T         # ONE whole-block transpose per instance
 
     def tile(qt, _):
         ts = pl.multiple_of(qt * TQ, TQ)
-        facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
+        # "tile0state" (WRONG NUMERICS, timing only): loop-invariant factors —
+        # isolates the per-tile _tile_state cost (slice+floor chain)
+        facs, _sp = _tile_state(
+            ftref, 0 if "tile0state" in _ABLATE else ts, TQ,
+            spatial_shapes, starts, P, pre_t=True)
         gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)        # (TQ, D)
         gbt = (gtref[0, :, pl.ds(ts, TQ)].astype(a_dtype)     # (D, TQ)
                if transposed else None)
@@ -781,7 +842,7 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                     u = jax.lax.dot_general(
                         gb, vblk, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                if _ABLATE == "noudot":  # WRONG NUMERICS: timing only
+                if "noudot" in _ABLATE:  # WRONG NUMERICS: timing only
                     # lane-varying iota: a replicated broadcast here trips a
                     # Mosaic i1-relayout bug in the downstream compares
                     u = gb[:, :1] * jax.lax.broadcasted_iota(
@@ -793,6 +854,8 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
 
                     def build(a, lvl=lvl, x0=x0, fx=fx, y0=y0, fy=fy,
                               aw=aw, x=x, y=y, base=base):
+                        if "nobuild" in _ABLATE:  # WRONG NUMERICS: timing only
+                            return a + 1.0
                         hrow, wcol = _slice_maps(maps, lvl, g)
                         wids = jax.lax.broadcasted_iota(
                             jnp.int32, (128, gw), 0)
@@ -818,7 +881,7 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                             zero = jnp.zeros((), a_dtype)
                             ps += [jnp.where(m0, ub, zero),
                                    jnp.where(m1, ub, zero)]
-                        if _ABLATE == "nozdot":  # WRONG NUMERICS: timing only
+                        if "nozdot" in _ABLATE:  # WRONG NUMERICS: timing only
                             return a
                         z = jax.lax.dot_general(
                             jnp.concatenate(ps, axis=0), cwt,
@@ -826,7 +889,7 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                             preferred_element_type=jnp.float32)  # (2P·TQ, 128)
                         zids = jax.lax.broadcasted_iota(
                             jnp.int32, (TQ, 128), 1)
-                        if _ABLATE == "nocorner":  # WRONG NUMERICS
+                        if "nocorner" in _ABLATE:  # WRONG NUMERICS
                             sref[base] = sref[base] + z[:TQ, :1]
                             return a
                         # Corner reads as masked 128-lane reduces on the small
@@ -837,7 +900,12 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                         # is 60% SLOWER (132/76 vs 81/59 ms) - (N, 1) tiles
                         # are sublane-only vregs at 1/128 lane utilization, so
                         # "fewer, bigger" column ops are actually 8x more
-                        # vreg work. Out-of-range corners match no lane -> 0.
+                        # vreg work; (c) folding the x-weights into the z
+                        # tiles and contracting all 4P products against ones
+                        # in ONE stacked MXU dot is +8% (44.1/52.8 vs
+                        # 40.8/48.8 ms) — the concat/slice shuffling costs
+                        # more than the reduces it frees from the VPU.
+                        # Out-of-range corners match no lane -> 0.
                         for p in range(P):
                             z0 = z[(2 * p) * TQ:(2 * p + 1) * TQ]
                             z1 = z[(2 * p + 1) * TQ:(2 * p + 2) * TQ]
@@ -870,9 +938,9 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                                                       + (t1 - t0))
                         return a
 
-                    a = jax.lax.cond(_active(spans[lvl], g, gw), build,
+                    a = jax.lax.cond(actref[0, qt, lvl, g] != 0, build,
                                      lambda a: a, a)
-                if _ABLATE == "nodvdot":  # WRONG NUMERICS
+                if "nodvdot" in _ABLATE:  # WRONG NUMERICS
                     pass
                 elif transposed:
                     dv_ref[0, :, pl.ds(rows, gw)] += jnp.dot(
@@ -885,7 +953,7 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                     ).astype(dv_ref.dtype)
                 return 0
 
-            return jax.lax.cond(_any_hit(spans, g, gw), run, lambda _: 0, 0)
+            return jax.lax.cond(actref[0, qt, L, g] != 0, run, lambda _: 0, 0)
 
         jax.lax.fori_loop(0, G, group, 0)
         dxs, dys, das = [], [], []
@@ -900,8 +968,12 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
             das.append(da)
             dxs.append(dx * aw * W)
             dys.append(dy * aw * H)
-        dq_ref[0, :, pl.ds(ts, TQ)] = jnp.concatenate(
-            dxs + dys + das, axis=1).T.astype(dq_ref.dtype)
+        if "noepi" in _ABLATE:  # WRONG NUMERICS: per-tile epilogue cost
+            dq_ref[0, :, pl.ds(ts, TQ)] = jnp.zeros(
+                (F3, TQ), dq_ref.dtype)
+        else:
+            dq_ref[0, :, pl.ds(ts, TQ)] = jnp.concatenate(
+                dxs + dys + das, axis=1).T.astype(dq_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, nQ, tile, 0)
@@ -1060,14 +1132,18 @@ def _msda_bwd(spatial_shapes, res, grad):
         TQd = _TQ_BWD
     if _MERGED_BWD:
         transposed = D % 128 != 0
+        act = _activation_table(f, spatial_shapes, starts, TQd, G, gw)
+        act_spec = pl.BlockSpec((1,) + act.shape[1:], lambda bm: (bm, 0, 0, 0),
+                                memory_space=pltpu.SMEM)
         if transposed:
-            ins = [f, *map_args, vb.transpose(0, 2, 1), g, g.transpose(0, 2, 1)]
-            in_specs = [_fspec(f.shape[1], Lqp)] + map_specs + [
+            ins = [f, act, *map_args, vb.transpose(0, 2, 1), g,
+                   g.transpose(0, 2, 1)]
+            in_specs = [_fspec(f.shape[1], Lqp), act_spec] + map_specs + [
                 _fspec(D, G * gw), _full_spec(Lqp, D), _fspec(D, Lqp)]
             dv_spec, dv_shape = _fspec(D, G * gw), (BM, D, G * gw)
         else:
-            ins = [f, *map_args, vb, g]
-            in_specs = [_fspec(f.shape[1], Lqp)] + map_specs + [
+            ins = [f, act, *map_args, vb, g]
+            in_specs = [_fspec(f.shape[1], Lqp), act_spec] + map_specs + [
                 _full_spec(G * gw, D), _full_spec(Lqp, D)]
             dv_spec, dv_shape = _full_spec(G * gw, D), (BM, G * gw, D)
         if _GATHER_BWD and _gather_ok(spatial_shapes):
@@ -1086,8 +1162,11 @@ def _msda_bwd(spatial_shapes, res, grad):
                        jax.ShapeDtypeStruct(dv_shape, vb.dtype)],
             # (3LP, TQ, 1) accumulator scratch for the gather kernel (the
             # uform/plain merged kernels receive and ignore it) — see the
-            # gather kernel's docstring on why this must NOT be a loop carry
-            scratch_shapes=[pltpu.VMEM((3 * L * P, TQd, 1), jnp.float32)],
+            # gather kernel's docstring on why this must NOT be a loop carry —
+            # plus the (Lqp, 3LP) transposed-factor block all merged kernels
+            # fill once per grid instance (see _tile_state pre_t)
+            scratch_shapes=[pltpu.VMEM((3 * L * P, TQd, 1), jnp.float32),
+                            pltpu.VMEM((Lqp, 3 * L * P), jnp.float32)],
             # the flagship CAViT instance needs ~17.1 MB scoped VMEM — above
             # Mosaic's 16 MB default but well within the chip's physical VMEM
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2 ** 20),
