@@ -333,6 +333,21 @@ def _build_a(facs, spans, maps, g, TQ, P, gw=_GW):
     return a
 
 
+def _build_a_act(facs, actref, qt, maps, g, TQ, P, gw=_GW):
+    """_build_a with the level conds driven by the SMEM activation table."""
+    a = jnp.zeros((TQ, gw), jnp.float32)
+    for lvl, (x0, fx, y0, fy, aw, x, y) in enumerate(facs):
+        def build(a, lvl=lvl, x=x, y=y, aw=aw):
+            hrowf, wcolf = _slice_maps(maps, lvl, g)
+            for p in range(P):
+                tx, ty = _hat_t(hrowf, wcolf, x, y, p)
+                a = a + aw[:, p:p + 1] * (ty * tx)
+            return a
+
+        a = jax.lax.cond(actref[0, qt, lvl, g] != 0, build, lambda a: a, a)
+    return a
+
+
 def _any_hit(spans, g, gw=_GW):
     return functools.reduce(jnp.logical_or,
                             [_active(s, g, gw) for s in spans])
@@ -369,31 +384,46 @@ def _activation_table(f, spatial_shapes, starts, TQ, G, gw):
     return jnp.concatenate([act, anyh], axis=2).astype(jnp.int32)
 
 
+def _group_list(act):
+    """(BM, nQ, 1+G) i32: [n_active, active group ids ascending, padding].
+
+    Lets the gather kernel's group loop run EXACTLY n_active iterations
+    (g read from SMEM) instead of testing all G groups — each skipped
+    (tile, group) iteration still cost ~0.5 µs of scalar/branch machinery."""
+    anyrow = act[:, :, -1]                                       # (BM,nQ,G)
+    ng = anyrow.sum(-1, dtype=jnp.int32)
+    order = jnp.argsort(1 - anyrow, axis=-1).astype(jnp.int32)
+    return jnp.concatenate([ng[..., None], order], axis=-1)
+
+
 def _fwd_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
     L = len(spatial_shapes)
     fref = refs[0]
-    maps = refs[1:1 + _NM * L]
-    vref = refs[1 + _NM * L]
-    out_ref = refs[2 + _NM * L]
+    actref = refs[1]               # SMEM (1, nQ, L+1, G) activation table
+    glref = refs[2]                # SMEM (1, nQ, 1+G) active-group list
+    maps = refs[3:3 + _NM * L]
+    vref = refs[3 + _NM * L]
+    out_ref = refs[4 + _NM * L]
+    ftref = refs[-1]               # scratch (Lqp, F3) f32 — see _tile_state
     D = out_ref.shape[-1]
+    ftref[...] = fref[0].T         # ONE whole-block transpose per instance
 
     def tile(qt, _):
         ts = pl.multiple_of(qt * TQ, TQ)
-        facs, spans = _tile_state(fref, ts, TQ, spatial_shapes, starts, P)
+        facs, _sp = _tile_state(ftref, ts, TQ, spatial_shapes, starts, P,
+                                pre_t=True)
+        ng = glref[0, qt, 0]
 
-        def group(g, acc):
-            def dot(acc):
-                a = _build_a(facs, spans, maps, g, TQ, P, gw=_GW_FWD)
-                rows = pl.multiple_of(g * _GW_FWD, _GW_FWD)
-                vblk = vref[0, pl.ds(rows, _GW_FWD), :].astype(a_dtype)
-                return acc + jnp.dot(a.astype(a_dtype), vblk,
-                                     preferred_element_type=jnp.float32)
-
-            return jax.lax.cond(_any_hit(spans, g, _GW_FWD), dot,
-                                lambda acc: acc, acc)
+        def group(k, acc):
+            g = glref[0, qt, k + 1]
+            a = _build_a_act(facs, actref, qt, maps, g, TQ, P, gw=_GW_FWD)
+            rows = pl.multiple_of(g * _GW_FWD, _GW_FWD)
+            vblk = vref[0, pl.ds(rows, _GW_FWD), :].astype(a_dtype)
+            return acc + jnp.dot(a.astype(a_dtype), vblk,
+                                 preferred_element_type=jnp.float32)
 
         out_ref[0, pl.ds(ts, TQ), :] = jax.lax.fori_loop(
-            0, G, group, jnp.zeros((TQ, D), jnp.float32)).astype(out_ref.dtype)
+            0, ng, group, jnp.zeros((TQ, D), jnp.float32)).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, nQ, tile, 0)
@@ -522,16 +552,17 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     L = len(spatial_shapes)
     fref = refs[0]
     actref = refs[1]               # SMEM (1, nQ, L+1, G) activation table
-    maps = refs[2:2 + _NM * L]
-    vref = refs[2 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
-    gref = refs[3 + _NM * L]       # (1, Lqp, D)
+    glref = refs[2]                # SMEM (1, nQ, 1+G) active-group list
+    maps = refs[3:3 + _NM * L]
+    vref = refs[3 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[4 + _NM * L]       # (1, Lqp, D)
     if transposed:
-        gtref = refs[4 + _NM * L]  # (1, D, Lqp)
-        dq_ref = refs[5 + _NM * L]
-        dv_ref = refs[6 + _NM * L]  # (1, D, G·GW)
+        gtref = refs[5 + _NM * L]  # (1, D, Lqp)
+        dq_ref = refs[6 + _NM * L]
+        dv_ref = refs[7 + _NM * L]  # (1, D, G·GW)
     else:
-        dq_ref = refs[4 + _NM * L]
-        dv_ref = refs[5 + _NM * L]  # (1, G·GW, D)
+        dq_ref = refs[5 + _NM * L]
+        dv_ref = refs[6 + _NM * L]  # (1, G·GW, D)
     ftref = refs[-1]               # scratch (Lqp, F3) f32 — see _tile_state
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
     ftref[...] = fref[0].T         # ONE whole-block transpose per instance
@@ -641,16 +672,17 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     L = len(spatial_shapes)
     fref = refs[0]
     actref = refs[1]               # SMEM (1, nQ, L+1, G) activation table
-    maps = refs[2:2 + _NM * L]
-    vref = refs[2 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
-    gref = refs[3 + _NM * L]       # (1, Lqp, D)
+    glref = refs[2]                # SMEM (1, nQ, 1+G) active-group list
+    maps = refs[3:3 + _NM * L]
+    vref = refs[3 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[4 + _NM * L]       # (1, Lqp, D)
     if transposed:
-        gtref = refs[4 + _NM * L]  # (1, D, Lqp)
-        dq_ref = refs[5 + _NM * L]
-        dv_ref = refs[6 + _NM * L]  # (1, D, G·GW)
+        gtref = refs[5 + _NM * L]  # (1, D, Lqp)
+        dq_ref = refs[6 + _NM * L]
+        dv_ref = refs[7 + _NM * L]  # (1, D, G·GW)
     else:
-        dq_ref = refs[4 + _NM * L]
-        dv_ref = refs[5 + _NM * L]  # (1, G·GW, D)
+        dq_ref = refs[5 + _NM * L]
+        dv_ref = refs[6 + _NM * L]  # (1, G·GW, D)
     ftref = refs[-1]               # scratch (Lqp, F3) f32 — see _tile_state
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
     ftref[...] = fref[0].T         # ONE whole-block transpose per instance
@@ -802,16 +834,17 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     F3 = 3 * L * P
     fref = refs[0]
     actref = refs[1]               # SMEM (1, nQ, L+1, G) activation table
-    maps = refs[2:2 + _NM * L]
-    vref = refs[2 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
-    gref = refs[3 + _NM * L]       # (1, Lqp, D)
+    glref = refs[2]                # SMEM (1, nQ, 1+G) active-group list
+    maps = refs[3:3 + _NM * L]
+    vref = refs[3 + _NM * L]       # (1, G·GW, D) or transposed (1, D, G·GW)
+    gref = refs[4 + _NM * L]       # (1, Lqp, D)
     if transposed:
-        gtref = refs[4 + _NM * L]  # (1, D, Lqp)
-        dq_ref = refs[5 + _NM * L]
-        dv_ref = refs[6 + _NM * L]  # (1, D, G·GW)
+        gtref = refs[5 + _NM * L]  # (1, D, Lqp)
+        dq_ref = refs[6 + _NM * L]
+        dv_ref = refs[7 + _NM * L]  # (1, D, G·GW)
     else:
-        dq_ref = refs[4 + _NM * L]
-        dv_ref = refs[5 + _NM * L]  # (1, G·GW, D)
+        dq_ref = refs[5 + _NM * L]
+        dv_ref = refs[6 + _NM * L]  # (1, G·GW, D)
     sref = refs[-2]                # scratch (F3, TQ, 1) f32
     ftref = refs[-1]               # scratch (Lqp, F3) f32
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
@@ -829,7 +862,11 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                if transposed else None)
         sref[...] = jnp.zeros((F3, TQ, 1), jnp.float32)
 
-        def group(g, _):
+        ng = glref[0, qt, 0]
+
+        def group(k, _):
+            g = glref[0, qt, k + 1]
+
             def run(_):
                 rows = pl.multiple_of(g * gw, gw)
                 vblk = (vref[0, :, pl.ds(rows, gw)] if transposed
@@ -953,9 +990,9 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                     ).astype(dv_ref.dtype)
                 return 0
 
-            return jax.lax.cond(actref[0, qt, L, g] != 0, run, lambda _: 0, 0)
+            return run(0)
 
-        jax.lax.fori_loop(0, G, group, 0)
+        jax.lax.fori_loop(0, ng, group, 0)
         dxs, dys, das = [], [], []
         for lvl, (H, W) in enumerate(spatial_shapes):
             aw = facs[lvl][4]
@@ -1062,16 +1099,24 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes,
     f = _pad_factors(f_raw, Lqp)
 
     map_args, map_specs = _map_args(maps, "float")
+    act = _activation_table(f, spatial_shapes, starts, TQ, G, _GW_FWD)
+    gl = _group_list(act)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, spatial_shapes, G, starts, TQ,
                           Lqp // TQ, P, value.dtype),
         grid=(BM,),
-        in_specs=[_fspec(f.shape[1], Lqp)] + map_specs
+        in_specs=[_fspec(f.shape[1], Lqp),
+                  pl.BlockSpec((1,) + act.shape[1:],
+                               lambda bm: (bm, 0, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1,) + gl.shape[1:], lambda bm: (bm, 0, 0),
+                               memory_space=pltpu.SMEM)] + map_specs
         + [_full_spec(G * _GW_FWD, D)],
         out_specs=_full_spec(Lqp, D),
         out_shape=jax.ShapeDtypeStruct((BM, Lqp, D), value.dtype),
+        scratch_shapes=[pltpu.VMEM((Lqp, f.shape[1]), jnp.float32)],
         interpret=_interpret(),
-    )(f, *map_args, vb)
+    )(f, act, gl, *map_args, vb)
     out = out[:, :Lq].reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
     out = out.reshape(B, Lq, M * D).astype(jnp.float32)
     return (out, f_raw, vb) if return_f else out
@@ -1133,17 +1178,22 @@ def _msda_bwd(spatial_shapes, res, grad):
     if _MERGED_BWD:
         transposed = D % 128 != 0
         act = _activation_table(f, spatial_shapes, starts, TQd, G, gw)
+        gl = _group_list(act)
         act_spec = pl.BlockSpec((1,) + act.shape[1:], lambda bm: (bm, 0, 0, 0),
                                 memory_space=pltpu.SMEM)
+        gl_spec = pl.BlockSpec((1,) + gl.shape[1:], lambda bm: (bm, 0, 0),
+                               memory_space=pltpu.SMEM)
         if transposed:
-            ins = [f, act, *map_args, vb.transpose(0, 2, 1), g,
+            ins = [f, act, gl, *map_args, vb.transpose(0, 2, 1), g,
                    g.transpose(0, 2, 1)]
-            in_specs = [_fspec(f.shape[1], Lqp), act_spec] + map_specs + [
+            in_specs = [_fspec(f.shape[1], Lqp), act_spec, gl_spec] \
+                + map_specs + [
                 _fspec(D, G * gw), _full_spec(Lqp, D), _fspec(D, Lqp)]
             dv_spec, dv_shape = _fspec(D, G * gw), (BM, D, G * gw)
         else:
-            ins = [f, act, *map_args, vb, g]
-            in_specs = [_fspec(f.shape[1], Lqp), act_spec] + map_specs + [
+            ins = [f, act, gl, *map_args, vb, g]
+            in_specs = [_fspec(f.shape[1], Lqp), act_spec, gl_spec] \
+                + map_specs + [
                 _full_spec(G * gw, D), _full_spec(Lqp, D)]
             dv_spec, dv_shape = _full_spec(G * gw, D), (BM, G * gw, D)
         if _GATHER_BWD and _gather_ok(spatial_shapes):
