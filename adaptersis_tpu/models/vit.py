@@ -309,6 +309,8 @@ def _windowed(factory, depth):
 
 ARCHS = {
     "vit_small": vit_small,
+    # tiny config for integration/smoke tests (not a reference arch)
+    "vit_test": partial(DinoVisionTransformer, embed_dim=64, depth=5, num_heads=4),
     "vit_base": vit_base,
     "vit_large": vit_large,
     "vit_giant2": vit_giant2,

@@ -111,6 +111,19 @@ class SSLMetaArch:
         }
         return state
 
+    def shard_state(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        """Re-apply init_state's shardings to a restored (host) state tree —
+        the resume half of the FSDPCheckpointer contract
+        (dinov2/fsdp/__init__.py:118-141 resume_or_load)."""
+        return {
+            "student": fsdp_shard_params(state["student"], self.mesh),
+            "teacher": fsdp_shard_params(state["teacher"], self.mesh),
+            "opt_state": fsdp_shard_params(state["opt_state"], self.mesh),
+            **replicate_tree(
+                {k: state[k] for k in ("dino_center", "ibot_center", "step")},
+                self.mesh),
+        }
+
     @property
     def tx(self) -> optax.GradientTransformation:
         cfg = self.cfg

@@ -100,13 +100,6 @@ def main(args):
 
     ds = SyntheticSeg(n=max(global_batch * 4, 64),
                       imsize=args.global_crops_size + 32, seed=args.seed)
-    # resumable infinite sampler + iteration-keyed loop over
-    # epochs × OFFICIAL_EPOCH_LENGTH (dinov2/train/train.py:134-318)
-    sampler = ShardedInfiniteSampler(len(ds), seed=args.seed,
-                                     rank=jax.process_index(),
-                                     world_size=jax.process_count())
-    loader = DataLoader(ds, sampler=sampler, batch_size=global_batch,
-                        num_workers=4)
     niter_per_ep = args.steps_per_epoch or args.official_epoch_length
     total = args.epochs * niter_per_ep
 
@@ -136,38 +129,71 @@ def main(args):
         num_masking_patches=n_tokens // 2,
     )
 
-    it = 0
     logger = MetricLogger()
     # iteration-keyed keep-last-3 retention + model_final + last_checkpoint tag
     # (reference: fvcore PeriodicCheckpointer, dinov2/train/train.py:158-162)
     periodic = PeriodicCheckpointer(args.output_dir,
                                     period=args.saveckp_freq * niter_per_ep,
                                     max_iter=total, max_to_keep=3)
+
+    # ---- preemption resume (reference: FSDPCheckpointer.resume_or_load via the
+    # last_checkpoint tag, dinov2/fsdp/__init__.py:118-141; submitit requeue
+    # re-runs this main with the same output_dir, run/submit.py:92-123).
+    # Everything step-dependent is derived FROM the restored step so the
+    # continued run is step-for-step identical to an uninterrupted one:
+    # per-iteration rng = fold_in(seed, it), mask seed = f(it), sampler
+    # advanced by it·global_batch samples (ShardedInfiniteSampler.advance).
+    it = 0
+    last = periodic.get_checkpoint_file()
+    if last:
+        restored = restore_checkpoint(args.output_dir, jax.device_get(state),
+                                      name=os.path.basename(last))
+        if restored is not None:
+            state = arch.shard_state(restored)
+            it = int(state["step"])
+            print(f"resumed from {last} at iteration {it}")
+
+    # resumable infinite sampler + iteration-keyed loop over
+    # epochs × OFFICIAL_EPOCH_LENGTH (dinov2/train/train.py:134-318)
+    sampler = ShardedInfiniteSampler(len(ds), seed=args.seed,
+                                     rank=jax.process_index(),
+                                     world_size=jax.process_count(),
+                                     advance=it * global_batch)
+    loader = DataLoader(ds, sampler=sampler, batch_size=global_batch,
+                        num_workers=4)
+
     data_iter = iter(loader)
-    for epoch in range(args.epochs):
-        for _ in range(niter_per_ep):
-            imgs, _, _ = next(data_iter)
-            rng, ka = jax.random.split(rng)
-            g, l = multicrop_augment(jnp.asarray(imgs), ka,
-                                     global_size=args.global_crops_size,
-                                     local_size=args.local_crops_size,
-                                     n_local=args.local_crops_number)
-            masks = collate_masks(g.shape[0], n_tokens, mask_gen,
-                                  seed=args.seed * 100000 + it)
-            state, metrics = arch.train_step(state, g, l, jnp.asarray(masks),
-                                             schedules, min(it, total - 1))
-            loss = float(metrics["total_loss"])
-            if math.isnan(loss):
-                raise RuntimeError(f"NaN loss at iteration {it}")  # train.py:273-275
-            logger.update(**{k: float(v) for k, v in metrics.items()})
-            it += 1
-            # only materialize the (multi-GB at ViT scale) state on host when
-            # this iteration actually saves — device_get is a full transfer+sync
-            if it % periodic.period == 0 or it >= total:
-                periodic.step(it - 1, jax.device_get(
-                    {"student": state["student"], "teacher": state["teacher"],
-                     "step": state["step"]}))
-        print(f"epoch {epoch}: {logger}")
+    while it < total:
+        imgs, _, _ = next(data_iter)
+        ka = jax.random.fold_in(rng, it)
+        g, l = multicrop_augment(jnp.asarray(imgs), ka,
+                                 global_size=args.global_crops_size,
+                                 local_size=args.local_crops_size,
+                                 n_local=args.local_crops_number)
+        masks = collate_masks(g.shape[0], n_tokens, mask_gen,
+                              seed=args.seed * 100000 + it)
+        state, metrics = arch.train_step(state, g, l, jnp.asarray(masks),
+                                         schedules, min(it, total - 1))
+        loss = float(metrics["total_loss"])
+        if math.isnan(loss):
+            raise RuntimeError(f"NaN loss at iteration {it}")  # train.py:273-275
+        logger.update(**{k: float(v) for k, v in metrics.items()})
+        it += 1
+        # only materialize the (multi-GB at ViT scale) state on host when
+        # this iteration actually saves — device_get is a full transfer+sync.
+        # The FULL state (incl. optimizer moments + centers) is saved so a
+        # requeued run continues bit-identically (§5 'requeue≡resume').
+        if it % periodic.period == 0 or it >= total:
+            periodic.step(it - 1, jax.device_get(state))
+        if it % niter_per_ep == 0:
+            print(f"epoch {it // niter_per_ep - 1}: {logger}")
+        preempt_at = int(os.environ.get("ASN_PREEMPT_AT", "0"))
+        if preempt_at and it >= preempt_at:
+            # simulated mid-training preemption (test hook): exits WITHOUT
+            # saving — the requeued run must resume from the last periodic
+            # checkpoint and replay to a bit-identical trajectory
+            print(f"preempted at iteration {it}")
+            return
 
 
 if __name__ == "__main__":

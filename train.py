@@ -280,8 +280,13 @@ def train_seg(args):
               f"{stats['acc1'] * 100:.1f}%")
         return
 
-    rng = jax.random.PRNGKey(args.seed + 1234)
+    # per-epoch rng derived by fold_in so a run resumed at an epoch boundary is
+    # step-for-step identical to an uninterrupted one (requeue≡resume — the
+    # reference gets requeue via submitit checkpoint(), run/submit.py:92-123,
+    # and resumes from the epoch-keyed checkpoint.pth.tar)
+    base_rng = jax.random.PRNGKey(args.seed + 1234)
     for epoch in range(start_epoch, args.epochs):
+        rng = jax.random.fold_in(base_rng, epoch)
         sampler.set_epoch(epoch)
         logger = MetricLogger(delimiter="  ")
         logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
@@ -314,6 +319,12 @@ def train_seg(args):
                  "epoch": state["epoch"] * 0 + (epoch + 1),
                  "best_acc": state["best_acc"] * 0 + best_acc}
         save_checkpoint(args.output_dir, jax.device_get(state))
+        stop_after = int(os.environ.get("ASN_STOP_AFTER_EPOCHS", "0"))
+        if stop_after and epoch + 1 - start_epoch >= stop_after:
+            # simulated SLURM preemption (test hook): the requeued job re-runs
+            # this main with identical args and must continue bit-identically
+            print(f"preempted after {stop_after} epochs")
+            return
     print("Training completed.\nTop-1 test accuracy: {acc:.1f}".format(acc=best_acc * 100))
 
 
