@@ -42,23 +42,25 @@ def replicate_tree(tree: Any, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def fsdp_shard_params(params: Any, mesh: Mesh, min_size: int = 2**16):
-    """FSDP-style sharding rule: shard a leaf's largest divisible axis over the
-    'fsdp' mesh axis (ZeRO-3 analogue of dinov2/fsdp FULL_SHARD), replicate the
-    rest. Small leaves stay replicated."""
-    n_fsdp = mesh.shape["fsdp"]
-
-    def spec_for(x) -> P:
-        if n_fsdp == 1 or x.ndim == 0 or x.size < min_size:
-            return P()
-        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
-        for d in dims:
-            if x.shape[d] % n_fsdp == 0:
-                spec = [None] * x.ndim
-                spec[d] = "fsdp"
-                return P(*spec)
+def fsdp_spec(x, n_fsdp: int, min_size: int = 2**16) -> P:
+    """FSDP sharding rule for one leaf: shard its largest n_fsdp-divisible axis
+    over the 'fsdp' mesh axis, replicate small/indivisible leaves."""
+    if n_fsdp == 1 or x.ndim == 0 or x.size < min_size:
         return P()
+    dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+    for d in dims:
+        if x.shape[d] % n_fsdp == 0:
+            spec = [None] * x.ndim
+            spec[d] = "fsdp"
+            return P(*spec)
+    return P()
 
+
+def fsdp_shard_params(params: Any, mesh: Mesh, min_size: int = 2**16):
+    """FSDP-style sharding (ZeRO-3 analogue of dinov2/fsdp FULL_SHARD): apply
+    `fsdp_spec` to every leaf."""
+    n_fsdp = mesh.shape["fsdp"]
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), params
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, fsdp_spec(x, n_fsdp, min_size))), params
     )

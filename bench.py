@@ -128,12 +128,21 @@ def main() -> None:
               file=sys.stderr)
 
     img_s_chip = sorted(rates)[len(rates) // 2]
+    # MFU: analytic matmul/conv FLOPs of the step (utils/flops.py — XLA's
+    # cost_analysis reports 0 for the Pallas custom calls that hold most of
+    # the math here) over the v5e bf16 peak of 197 TFLOP/s. Conservative:
+    # elementwise/softmax/augmentation work is uncounted. See BASELINE.md.
+    from adaptersis_tpu.utils.flops import train_step_flops
+
+    V5E_PEAK_FLOPS = 197e12
+    mfu = train_step_flops(BATCH, IMSIZE) * (img_s_chip / BATCH) / V5E_PEAK_FLOPS
     print(json.dumps({
         "metric": "vitl14_588_adapter_train_images_per_sec_per_chip",
         "value": round(img_s_chip, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s_chip / A100_EST_IMG_S, 3),
         "spread": [round(min(rates), 3), round(max(rates), 3)],
+        "mfu": round(mfu, 4),
     }))
 
 
