@@ -348,6 +348,64 @@ def _build_a_act(facs, actref, qt, maps, g, TQ, P, gw=_GW):
     return a
 
 
+def _expand_ok(spatial_shapes) -> bool:
+    """Eligibility for the MXU one-hot expansion A build: every level's rows
+    AND columns must index inside one 128-lane factor tile."""
+    return all(h <= 127 and w <= 127 for h, w in spatial_shapes)
+
+
+def _build_a_expand(facs, actref, qt, maps, g, TQ, P, a_dtype, gw=_GW):
+    """A-tile via MXU one-hot expansion instead of per-point (TQ, gw) hats.
+
+    The hat factors only depend on the point's own row/column coordinate, so
+    build them ONCE per point on small (TQ, 128) row/column index tiles —
+    R_p(q, i) = aw_p·hat(y_p(q) − i), C_p(q, j) = hat(x_p(q) − j) — stack the
+    P points on sublanes, and EXPAND to the (TQ, gw) group window with two
+    MXU dots against the constant one-hot maps E(i, t) = [hrow(t) == i],
+    F(j, t) = [wcol(t) == j]. A = Σ_p (R@E) ∘ (C@F). The per-point VPU work
+    on full (TQ, gw) tiles (2 hats + weighted accumulate ≈ 11 passes) becomes
+    one multiply+add; the hats move to (TQ, 128) tiles that are gw/128×
+    smaller. Out-of-range corners: rows i ≥ H match no map entry (hrow < H),
+    and the folded-value tail sentinel (~1e9) matches no lane of the iota.
+
+    Eligible when every level grid fits 128 rows/columns (`_expand_ok` —
+    flagship: 73/37/19 and 42); the wrapper falls back to `_build_a_act`."""
+    a = jnp.zeros((TQ, gw), jnp.float32)
+    for lvl, (x0, fx, y0, fy, aw, x, y) in enumerate(facs):
+        def build(a, lvl=lvl, x=x, y=y, aw=aw):
+            hrowf, wcolf = _slice_maps(maps, lvl, g)
+            ids = jax.lax.broadcasted_iota(
+                jnp.int32, (128, gw), 0).astype(jnp.float32)
+            em = jnp.where(hrowf == ids, 1.0, 0.0).astype(a_dtype)
+            fm = jnp.where(wcolf == ids, 1.0, 0.0).astype(a_dtype)
+            pids = jax.lax.broadcasted_iota(
+                jnp.int32, (P * TQ, 128), 1).astype(jnp.float32)
+            if "xnoconcat" in _ABLATE:  # WRONG NUMERICS: compile-crash probe
+                ycol = jnp.zeros((P * TQ, 1), jnp.float32) + y[0, 0]
+                xcol = ycol
+                awcol = ycol
+            else:
+                ycol = jnp.concatenate([y[:, p:p + 1] for p in range(P)], 0)
+                xcol = jnp.concatenate([x[:, p:p + 1] for p in range(P)], 0)
+                awcol = jnp.concatenate([aw[:, p:p + 1] for p in range(P)], 0)
+            rs = (jnp.maximum(1.0 - jnp.abs(pids - ycol), 0.0)
+                  * awcol).astype(a_dtype)
+            cs = jnp.maximum(1.0 - jnp.abs(pids - xcol), 0.0).astype(a_dtype)
+            # Mosaic requires 32-bit matmul accumulators; the one-hot E/F make
+            # the outputs exact copies of rs/cs entries either way
+            rx = jax.lax.dot_general(rs, em, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            cx = jax.lax.dot_general(cs, fm, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            h = rx * cx
+            for p in range(P):
+                a = a + h[p * TQ:(p + 1) * TQ]
+            return a
+
+        a = jax.lax.cond(actref[0, qt, lvl, g] != 0, build, lambda a: a, a)
+    return a
+
+
 def _any_hit(spans, g, gw=_GW):
     return functools.reduce(jnp.logical_or,
                             [_active(s, g, gw) for s in spans])
@@ -416,7 +474,11 @@ def _fwd_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, *refs):
 
         def group(k, acc):
             g = glref[0, qt, k + 1]
-            a = _build_a_act(facs, actref, qt, maps, g, TQ, P, gw=_GW_FWD)
+            if _EXPAND_FWD and _expand_ok(spatial_shapes):
+                a = _build_a_expand(facs, actref, qt, maps, g, TQ, P,
+                                    a_dtype, gw=_GW_FWD)
+            else:
+                a = _build_a_act(facs, actref, qt, maps, g, TQ, P, gw=_GW_FWD)
             rows = pl.multiple_of(g * _GW_FWD, _GW_FWD)
             vblk = vref[0, pl.ds(rows, _GW_FWD), :].astype(a_dtype)
             return acc + jnp.dot(a.astype(a_dtype), vblk,
@@ -822,14 +884,19 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     redirected to the guaranteed-zero lane 127 (flagship widths: 73/37/19/42).
     The wrapper falls back to the u-form kernel otherwise.
 
-    Accumulator state: the 3·P·L per-(point, variant) partial sums live in a
-    VMEM SCRATCH ref (zeroed per query tile), NOT in the fori_loop/cond carry.
-    Carrying them as a 36-tuple of (TQ, 1) tiles measured ~3× the whole
-    kernel's useful work: every lax.cond boundary at every (tile, group) step
-    pays a per-carried-tile select/spill, and the ablation sweep showed the
-    kernel time was INVARIANT to removing the math (u dot, reduces, dV dot)
-    while keeping the carries — the carries were the bottleneck, exactly like
-    dv_ref's revisit accumulation which always used a ref."""
+    Accumulator state: the masked-u gather tiles z accumulate in a VMEM
+    SCRATCH ref zref (L·2P·TQ, 128), zeroed per query tile, NOT in the
+    fori_loop/cond carry — carrying tiles through cond boundaries measured
+    ~3× the kernel's useful work in the round-3 ablation sweep (per-carried-
+    tile select/spill at every (tile, group) step).
+
+    Corner reads happen ONCE per (tile, level, point) AFTER the group loop,
+    not per group: z's 128 lanes are the LEVEL-GLOBAL column space (the cwt
+    one-hot maps each group-window position to its level column), so summing
+    z over a tile's active groups is exact — every group contributes only the
+    rows/columns its window covers, disjointly. The round-4 ablation sweep
+    measured the in-loop corner reads at 7.6/8.7 ms of CAViT/CACNN's
+    40.8/48.7 ms; hoisting them leaves one fixed 4·P·L read set per tile."""
     L = len(spatial_shapes)
     F3 = 3 * L * P
     fref = refs[0]
@@ -845,7 +912,7 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
     else:
         dq_ref = refs[5 + _NM * L]
         dv_ref = refs[6 + _NM * L]  # (1, G·GW, D)
-    sref = refs[-2]                # scratch (F3, TQ, 1) f32
+    zref = refs[-2]                # scratch (L·2P·TQ, 128) f32 z accumulators
     ftref = refs[-1]               # scratch (Lqp, F3) f32
     dv_ref[0] = jnp.zeros_like(dv_ref[0])
     ftref[...] = fref[0].T         # ONE whole-block transpose per instance
@@ -860,7 +927,7 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
         gb = gref[0, pl.ds(ts, TQ), :].astype(a_dtype)        # (TQ, D)
         gbt = (gtref[0, :, pl.ds(ts, TQ)].astype(a_dtype)     # (D, TQ)
                if transposed else None)
-        sref[...] = jnp.zeros((F3, TQ, 1), jnp.float32)
+        zref[...] = jnp.zeros((L * 2 * P * TQ, 128), jnp.float32)
 
         ng = glref[0, qt, 0]
 
@@ -910,11 +977,14 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                             fxp = fx[:, p:p + 1]
                             m0 = hrow == y0p
                             m1 = hrow == y0p + 1
+                            awp = aw[:, p:p + 1]
                             tx = (jnp.where(wcol == x0p, 1.0 - fxp, 0.0)
                                   + jnp.where(wcol == x0p + 1, fxp, 0.0))
-                            ty = (jnp.where(m0, 1.0 - fyp, 0.0)
-                                  + jnp.where(m1, fyp, 0.0))
-                            a = a + (aw[:, p:p + 1] * (ty * tx)).astype(a_dtype)
+                            # aw folded into the ty select COLUMNS (TQ, 1):
+                            # saves one full-(TQ, gw) multiply per point
+                            ty = (jnp.where(m0, awp * (1.0 - fyp), 0.0)
+                                  + jnp.where(m1, awp * fyp, 0.0))
+                            a = a + (ty * tx).astype(a_dtype)
                             zero = jnp.zeros((), a_dtype)
                             ps += [jnp.where(m0, ub, zero),
                                    jnp.where(m1, ub, zero)]
@@ -924,55 +994,11 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
                             jnp.concatenate(ps, axis=0), cwt,
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (2P·TQ, 128)
-                        zids = jax.lax.broadcasted_iota(
-                            jnp.int32, (TQ, 128), 1)
-                        if "nocorner" in _ABLATE:  # WRONG NUMERICS
-                            sref[base] = sref[base] + z[:TQ, :1]
-                            return a
-                        # Corner reads as masked 128-lane reduces on the small
-                        # z tiles, PER POINT. Measured dead ends here (round
-                        # 3): (a) dynamic_gather ~4x slower; (b) stacking all
-                        # 4P corner reads into (2P*TQ, 1) column algebra
-                        # (pair-sum identities, one mask set over the full z)
-                        # is 60% SLOWER (132/76 vs 81/59 ms) - (N, 1) tiles
-                        # are sublane-only vregs at 1/128 lane utilization, so
-                        # "fewer, bigger" column ops are actually 8x more
-                        # vreg work; (c) folding the x-weights into the z
-                        # tiles and contracting all 4P products against ones
-                        # in ONE stacked MXU dot is +8% (44.1/52.8 vs
-                        # 40.8/48.8 ms) — the concat/slice shuffling costs
-                        # more than the reduces it frees from the VPU.
-                        # Out-of-range corners match no lane -> 0.
-                        for p in range(P):
-                            z0 = z[(2 * p) * TQ:(2 * p + 1) * TQ]
-                            z1 = z[(2 * p + 1) * TQ:(2 * p + 2) * TQ]
-                            x0p = x0[:, p:p + 1]
-                            fxp = fx[:, p:p + 1]
-                            fyp = fy[:, p:p + 1]
-                            m0 = zids == x0p
-                            m1 = zids == x0p + 1
-                            zero = jnp.zeros((), jnp.float32)
-                            u00 = jnp.sum(jnp.where(m0, z0, zero),
-                                          axis=1, keepdims=True)
-                            u01 = jnp.sum(jnp.where(m1, z0, zero),
-                                          axis=1, keepdims=True)
-                            u10 = jnp.sum(jnp.where(m0, z1, zero),
-                                          axis=1, keepdims=True)
-                            u11 = jnp.sum(jnp.where(m1, z1, zero),
-                                          axis=1, keepdims=True)
-                            gy = 1.0 - fyp
-                            gx = 1.0 - fxp
-                            # t1 - t0 == gx(u10-u00) + fx(u11-u01): dy rides
-                            # the same interpolants as da (saves ~7 VPU ops
-                            # per point in this issue-bound epilogue)
-                            t0 = gx * u00 + fxp * u01
-                            t1 = gx * u10 + fxp * u11
-                            sref[base + p] = sref[base + p] + (gy * t0
-                                                               + fyp * t1)
-                            sref[base + P + p] = sref[base + P + p] + (
-                                gy * (u01 - u00) + fyp * (u11 - u10))
-                            sref[base + 2 * P + p] = (sref[base + 2 * P + p]
-                                                      + (t1 - t0))
+                        # accumulate into the level's z scratch; corner reads
+                        # happen once per tile AFTER the group loop (z's lanes
+                        # are level-global columns, so the group sum is exact)
+                        off = lvl * 2 * P * TQ
+                        zref[pl.ds(off, 2 * P * TQ), :] += z
                         return a
 
                     a = jax.lax.cond(actref[0, qt, lvl, g] != 0, build,
@@ -993,18 +1019,51 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
             return run(0)
 
         jax.lax.fori_loop(0, ng, group, 0)
+        # Corner reads as masked 128-lane reduces on the accumulated z tiles,
+        # once per (level, point). Measured dead ends for the read form
+        # (round 3, in-loop era — the tile shapes are unchanged):
+        # (a) dynamic_gather ~4x slower; (b) stacking all 4P corner reads
+        # into (2P*TQ, 1) column algebra is 60% SLOWER ((N, 1) tiles are
+        # sublane-only vregs at 1/128 lane utilization); (c) folding the
+        # x-weights into the z tiles and contracting against ones in ONE
+        # stacked MXU dot is +8%. Out-of-range corners match no lane -> 0.
+        zids = jax.lax.broadcasted_iota(jnp.int32, (TQ, 128), 1)
         dxs, dys, das = [], [], []
         for lvl, (H, W) in enumerate(spatial_shapes):
-            aw = facs[lvl][4]
-            base = lvl * 3 * P
-            da = jnp.concatenate([sref[base + p] for p in range(P)], axis=1)
-            dx = jnp.concatenate([sref[base + P + p] for p in range(P)],
-                                 axis=1)
-            dy = jnp.concatenate([sref[base + 2 * P + p] for p in range(P)],
-                                 axis=1)
-            das.append(da)
-            dxs.append(dx * aw * W)
-            dys.append(dy * aw * H)
+            x0, fx, y0, fy, aw, x, y = facs[lvl]
+            off = lvl * 2 * P * TQ
+            da_p, dx_p, dy_p = [], [], []
+            for p in range(P):
+                if "nocorner" in _ABLATE:  # WRONG NUMERICS: timing only
+                    zc = zref[pl.ds(off + 2 * p * TQ, TQ), :1]
+                    da_p.append(zc)
+                    dx_p.append(zc)
+                    dy_p.append(zc)
+                    continue
+                z0 = zref[pl.ds(off + 2 * p * TQ, TQ), :]
+                z1 = zref[pl.ds(off + (2 * p + 1) * TQ, TQ), :]
+                x0p = x0[:, p:p + 1]
+                fxp = fx[:, p:p + 1]
+                fyp = fy[:, p:p + 1]
+                m0 = zids == x0p
+                m1 = zids == x0p + 1
+                zero = jnp.zeros((), jnp.float32)
+                u00 = jnp.sum(jnp.where(m0, z0, zero), axis=1, keepdims=True)
+                u01 = jnp.sum(jnp.where(m1, z0, zero), axis=1, keepdims=True)
+                u10 = jnp.sum(jnp.where(m0, z1, zero), axis=1, keepdims=True)
+                u11 = jnp.sum(jnp.where(m1, z1, zero), axis=1, keepdims=True)
+                gy = 1.0 - fyp
+                gx = 1.0 - fxp
+                # t1 - t0 == gx(u10-u00) + fx(u11-u01): dy rides the same
+                # interpolants as da
+                t0 = gx * u00 + fxp * u01
+                t1 = gx * u10 + fxp * u11
+                da_p.append(gy * t0 + fyp * t1)
+                dx_p.append(gy * (u01 - u00) + fyp * (u11 - u10))
+                dy_p.append(t1 - t0)
+            das.append(jnp.concatenate(da_p, axis=1))
+            dxs.append(jnp.concatenate(dx_p, axis=1) * aw * W)
+            dys.append(jnp.concatenate(dy_p, axis=1) * aw * H)
         if "noepi" in _ABLATE:  # WRONG NUMERICS: per-tile epilogue cost
             dq_ref[0, :, pl.ds(ts, TQ)] = jnp.zeros(
                 (F3, TQ), dq_ref.dtype)
@@ -1021,12 +1080,25 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
 # every level is ≤128 lanes wide, u-form otherwise. The toggles remain for
 # A/B benchmarking (tools/bench_msda.py) and the regression tests.
 _MERGED_BWD = True
+# MXU one-hot expansion A build (_build_a_expand) — measured DEAD END on v5e
+# (round 4): fwd 17.3/21.5 ms vs the hat build's 14.0/17.0 at flagship
+# geometries, even with the stack concats stubbed out — the 2 expansion dots
+# per (group, level) serialize with the VPU build at ~2 µs issue latency each,
+# eating the saved VPU passes. Also: concatenating (TQ, 1) column slices on
+# SUBLANES inside a kernel crashes the Mosaic backend (HTTP 500, post-verify);
+# keep such stacks out of kernels. Flag kept for A/B reproduction.
+_EXPAND_FWD = False
 _UFORM_BWD = True
 _REDUCE_DOT = False  # u-form: lane-reduces as ONE stacked MXU ones-dot
 # dev-only timing ablations for the u-form merged kernel (WRONG numerics):
 # "noreduce" | "nogradfac" | "nodv" | "noudot" — isolate each cost component
 _ABLATE = os.environ.get("ASN_MSDA_ABLATE", "")
 _TQ_BWD = 0      # optional bwd query-tile override (must divide Lqp)
+
+
+def use_expand_fwd(on: bool) -> None:
+    global _EXPAND_FWD
+    _EXPAND_FWD = on
 
 
 def use_reduce_dot(on: bool) -> None:
@@ -1115,6 +1187,8 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes,
         out_specs=_full_spec(Lqp, D),
         out_shape=jax.ShapeDtypeStruct((BM, Lqp, D), value.dtype),
         scratch_shapes=[pltpu.VMEM((Lqp, f.shape[1]), jnp.float32)],
+        # headroom for the one-hot-expansion A build's (P·TQ, gw) stacks
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2 ** 20),
         interpret=_interpret(),
     )(f, act, gl, *map_args, vb)
     out = out[:, :Lq].reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
@@ -1215,7 +1289,7 @@ def _msda_bwd(spatial_shapes, res, grad):
             # gather kernel's docstring on why this must NOT be a loop carry —
             # plus the (Lqp, 3LP) transposed-factor block all merged kernels
             # fill once per grid instance (see _tile_state pre_t)
-            scratch_shapes=[pltpu.VMEM((3 * L * P, TQd, 1), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((L * 2 * P * TQd, 128), jnp.float32),
                             pltpu.VMEM((Lqp, 3 * L * P), jnp.float32)],
             # the flagship CAViT instance needs ~17.1 MB scoped VMEM — above
             # Mosaic's 16 MB default but well within the chip's physical VMEM

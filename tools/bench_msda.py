@@ -35,6 +35,8 @@ if os.environ.get("ASN_GATHER_BWD"):
     mp.use_gather_bwd(os.environ["ASN_GATHER_BWD"] == "1")
 if os.environ.get("ASN_TQ_BWD"):
     mp._TQ_BWD = int(os.environ["ASN_TQ_BWD"])
+if os.environ.get("ASN_EXPAND_FWD"):
+    mp.use_expand_fwd(os.environ["ASN_EXPAND_FWD"] == "1")
 
 B, M, D, P = 16, 8, 128, 4   # the flagship MSDA geometry (d_value 1024 / 8 heads)
 REPS = 10

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""On-chip MSDA kernel numerics gate (VERDICT r3 #5).
+
+The interpret-mode CI tests (tests/test_msda_pallas.py) prove the kernel MATH;
+they cannot catch a Mosaic miscompile that changes numbers on real hardware
+without crashing. This tool runs the shipped pallas path (library defaults:
+merged corner-gather backward) against the XLA gather core
+(ops/ms_deform_attn.py ms_deform_attn_core — the reference math of
+ms_deform_attn_core_pytorch) ON THE TPU, at BOTH flagship geometries
+(ViT-L@588: CAViT 1764 queries / 73-37-19 pyramid, CACNN 9261 queries / 42x42),
+forward + all three gradients:
+
+- fp32 inputs: both paths run fp32 end to end -> tight bound (<= 1e-3 relative
+  to the gradient's own scale; fwd <= 1e-4). Any Mosaic miscompile shows here.
+- bf16 value (the shipped trainer path): loose sanity bound (<= 2e-2 relative)
+  -- bf16 factor/dot rounding differs between the two implementations by
+  construction, so this only guards against gross corruption.
+
+Run once per round on the real chip; the output table is committed as
+VERIFY_MSDA_ONCHIP.md. Exits 1 on any FAIL.
+"""
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import adaptersis_tpu.ops.msda_pallas as mp  # noqa: E402
+from adaptersis_tpu.models.adapters import get_reference_points  # noqa: E402
+from adaptersis_tpu.ops.ms_deform_attn import ms_deform_attn_core  # noqa: E402
+
+B, M, D, P = 16, 8, 128, 4   # flagship MSDA geometry (d_value 1024 / 8 heads)
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+
+def make_inputs(shapes, Lq, query_shapes, vdtype):
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((B, S, M, D)), vdtype)
+    ref = np.asarray(get_reference_points(query_shapes))
+    base = ref[:, :, None, :, None, :]
+    if base.shape[3] != L:
+        base = np.broadcast_to(base, (1, Lq, 1, L, 1, 2))
+    hw = np.array([(1.0 / w, 1.0 / h) for h, w in shapes])
+    loc = jnp.asarray(
+        base + rng.uniform(-2, 2, (B, Lq, M, L, P, 2))
+        * hw[None, None, None, :, None, :], jnp.float32)
+    aw = jnp.asarray(rng.uniform(0, 1, (B, Lq, M, L, P)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, Lq, M * D)), jnp.float32)
+    return v, loc, aw, t
+
+
+def rel_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    scale = max(np.abs(b).max(), 1e-30)
+    return float(np.abs(a - b).max() / scale)
+
+
+def check(name, shapes, Lq, query_shapes, vdtype, fwd_tol, grad_tol, rows):
+    v, loc, aw, t = make_inputs(shapes, Lq, query_shapes, vdtype)
+    shapes = tuple(shapes)
+
+    # t rides as a jit ARGUMENT: closure-capturing it embeds a (B, Lq, M·D)
+    # literal in the HLO (607 MB at CACNN) and overflows the remote-compile
+    # helper's request-size limit (HTTP 413)
+    def loss_pallas(v_, l_, w_, t_):
+        return (((mp.msda_pallas(v_, l_, w_, shapes) + t_) ** 2)).sum()
+
+    def loss_core(v_, l_, w_, t_):
+        return (((ms_deform_attn_core(v_, shapes, l_, w_,
+                                      force_fp32=vdtype == jnp.float32)
+                  .astype(jnp.float32) + t_) ** 2)).sum()
+
+    fp = jax.jit(lambda v_, l_, w_: mp.msda_pallas(v_, l_, w_, shapes))
+    fc = jax.jit(lambda v_, l_, w_: ms_deform_attn_core(
+        v_, shapes, l_, w_, force_fp32=vdtype == jnp.float32
+    ).astype(jnp.float32))
+    gp = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))
+    gc = jax.jit(jax.grad(loss_core, argnums=(0, 1, 2)))
+
+    t0 = time.time()
+    op, oc = fp(v, loc, aw), fc(v, loc, aw)
+    e = rel_err(op, oc)
+    ok = e <= fwd_tol
+    rows.append((f"{name}/{np.dtype(vdtype).name}", "fwd", e, fwd_tol, ok))
+    grads_p, grads_c = gp(v, loc, aw, t), gc(v, loc, aw, t)
+    for gname, a, b in zip(("dV", "dloc", "daw"), grads_p, grads_c):
+        e = rel_err(a, b)
+        o = e <= grad_tol
+        ok &= o
+        rows.append((f"{name}/{np.dtype(vdtype).name}", gname, e, grad_tol, o))
+    print(f"  {name} {np.dtype(vdtype).name}: checked in {time.time()-t0:.0f}s")
+    return ok
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    cnn = ((73, 73), (37, 37), (19, 19))
+    rows, ok = [], True
+    for vdtype, ftol, gtol in ((jnp.float32, 1e-4, 1e-3),
+                               (jnp.bfloat16, 2e-2, 2e-2)):
+        ok &= check("CAViT", cnn, 1764, [(42, 42)], vdtype, ftol, gtol, rows)
+        ok &= check("CACNN", ((42, 42),), sum(h * w for h, w in cnn), list(cnn),
+                    vdtype, ftol, gtol, rows)
+    lines = ["| geometry | tensor | max rel err | bound | verdict |",
+             "|---|---|---|---|---|"]
+    for geo, tensor, e, tol, o in rows:
+        lines.append(f"| {geo} | {tensor} | {e:.2e} | {tol:.0e} | "
+                     f"{'PASS' if o else 'FAIL'} |")
+    dev = str(jax.devices()[0])
+    lines.append(f"\npallas (merged corner-gather bwd defaults) vs XLA gather "
+                 f"core, on-chip ({dev}).")
+    text = "\n".join(lines)
+    print(text)
+    Path(__file__).resolve().parent.parent.joinpath(
+        "VERIFY_MSDA_ONCHIP.md").write_text(text + "\n")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
