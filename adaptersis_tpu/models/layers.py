@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.flash_fwd import flash_fwd
 from ..ops.fused_mlp import fused_ln_mlp
 from ..ops.fused_qkv import fused_ln_qkv
 from ..ops.layernorm import fused_layernorm
@@ -266,6 +267,25 @@ def _flash_bhnd(q, k, v, scale, N, segment_ids=None):
                                block_b=1))
 
 
+def _flash_fwd_bhnd(q, k, v, scale, N, segment_ids=None):
+    """Forward-only bespoke flash (ops/flash_fwd.py) on (B, H, Np, Dh)
+    tensors — the frozen-walk fast path (attn_impl="flash_fwd"). segment_ids,
+    when given, must be BINARY validity (walk padding), not general packing."""
+    B, H, Np0, Dh = q.shape
+    Np = -(-Np0 // 128) * 128
+    if Np != Np0:
+        pad = ((0, 0), (0, 0), (0, Np - Np0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    if segment_ids is None:
+        valid = jnp.broadcast_to(
+            (jnp.arange(Np) < N).astype(jnp.int32)[None], (B, Np))
+    else:
+        valid = jnp.pad(segment_ids.astype(jnp.int32),
+                        ((0, 0), (0, Np - segment_ids.shape[1])),
+                        constant_values=0)
+    return flash_fwd(q, k, v, valid, scale)
+
+
 def _sdpa_flash(q, k, v, scale, segment_ids=None):
     """Pallas TPU flash attention (jax.experimental.pallas.ops.tpu.flash_attention)
     — replaces the reference's xformers memory_efficient_attention
@@ -391,8 +411,16 @@ class Attention(nn.Module):
             qp, kp, vp = (t[:, n_cls:] for t in (q, k, v))
             outp = windowed_sdpa(qp, kp, vp, scale, hw, self.window_size, self.dtype)
             out = jnp.concatenate([v[:, :n_cls], outp], axis=1) if n_cls else outp
-        elif segment_ids is not None and self.attn_impl != "flash":
+        elif (segment_ids is not None
+              and self.attn_impl not in ("flash", "flash_fwd")):
             out = _sdpa_einsum_segmented(q, k, v, scale, segment_ids, self.dtype)
+        elif self.attn_impl == "flash_fwd":
+            # forward-only bespoke kernel (ops/flash_fwd.py); caller guarantees
+            # stop_gradient context + binary segment semantics
+            out = _flash_fwd_bhnd(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3), scale, N,
+                                  segment_ids=segment_ids
+                                  ).transpose(0, 2, 1, 3)[:, :N]
         elif self.attn_impl == "flash":
             out = _sdpa_flash(q, k, v, scale, segment_ids=segment_ids)
         else:
@@ -435,7 +463,8 @@ class Block(nn.Module):
                 return y
             return LayerScale(self.dim, self.init_values, name=name)(y)
 
-        if (self.qkv_impl == "pallas" and self.attn_impl == "flash"
+        if (self.qkv_impl == "pallas"
+                and self.attn_impl in ("flash", "flash_fwd")
                 and not self.windowed and not return_attention):
             # fused LN1+qkv+head-split kernel emits q/k/v straight in the
             # flash (B, H, N, Dh) layout; the output projection contracts
@@ -446,8 +475,10 @@ class Block(nn.Module):
             s1, be1 = _LNParams(self.dim, name="norm1")()
             kq, bq, kp, bp = _AttnParams(self.dim, name="attn")()
             q, k, v = fused_ln_qkv(x, s1, be1, kq, bq, H)
-            out = _flash_bhnd(q, k, v, 1.0 / math.sqrt(Dh), N,
-                              segment_ids=segment_ids)[:, :, :N]
+            sdpa = (_flash_fwd_bhnd if self.attn_impl == "flash_fwd"
+                    else _flash_bhnd)
+            out = sdpa(q, k, v, 1.0 / math.sqrt(Dh), N,
+                       segment_ids=segment_ids)[:, :, :N]
             h = jnp.einsum("bhnd,hdc->bnc", out.astype(self.dtype),
                            kp.reshape(H, Dh, C).astype(self.dtype))
             h = h + bp.astype(self.dtype)

@@ -137,9 +137,14 @@ class AdapterSegmentor(nn.Module):
 
         use_pad_walks = self.pad_walks
         if use_pad_walks is None:
-            use_pad_walks = (self.backbone.attn_impl == "flash"
+            use_pad_walks = (self.backbone.attn_impl in ("flash", "flash_fwd")
                              and not any(self.backbone.window_attn or []))
         use_pad_walks = use_pad_walks and not self.batch_walks
+        if self.batch_walks and self.backbone.attn_impl == "flash_fwd":
+            # batch_walks packs two streams with MULTI-segment ids; the
+            # fwd-only kernel only understands binary validity masks
+            raise ValueError("batch_walks is incompatible with "
+                             "attn_impl='flash_fwd' (multi-segment packing)")
 
         def _pad128(t: jax.Array):
             """Pad tokens to the next 128 multiple; ids mark real rows (1) vs

@@ -1,0 +1,87 @@
+"""ops/flash_fwd.py — forward-only flash kernel vs plain softmax attention.
+
+Interpret-mode numerics (the on-chip A/B lives in tools/bench_flash.py).
+Covers: flagship geometry (1765→1792 pad) with key-padding masking, f32 tight
+bound, bf16 loose bound, a non-multiple-of-896 length (BQ fallback), and the
+layers.py dispatch (attn_impl="flash_fwd" == "flash" output on valid rows).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import adaptersis_tpu.ops.flash_fwd as ff
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    ff._FORCE_INTERPRET = True
+    yield
+    ff._FORCE_INTERPRET = None
+
+
+def _ref_sdpa(q, k, v, valid, scale):
+    """f64 reference softmax attention with key-padding mask."""
+    q, k, v = (np.asarray(t, np.float64) for t in (q, k, v))
+    s = np.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    s = np.where(np.asarray(valid)[:, None, None, :] > 0, s, -np.inf)
+    s -= s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _case(B, H, N, Np, Dh, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, H, Np, Dh)), dtype)
+    k = jnp.asarray(rng.standard_normal((B, H, Np, Dh)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, H, Np, Dh)), dtype)
+    valid = jnp.broadcast_to((jnp.arange(Np) < N).astype(jnp.int32)[None],
+                             (B, Np))
+    return q, k, v, valid
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-6), (jnp.bfloat16, 2e-2)])
+def test_masked_padded(dtype, tol):
+    B, H, N, Np, Dh = 2, 3, 117, 256, 64
+    q, k, v, valid = _case(B, H, N, Np, Dh, dtype)
+    out = ff.flash_fwd(q, k, v, valid, 0.125)
+    ref = _ref_sdpa(q, k, v, valid, 0.125)
+    err = np.abs(np.asarray(out, np.float64)[:, :, :N] - ref[:, :, :N]).max()
+    assert err < tol, err
+
+
+def test_flagship_shape_f32():
+    # 1792 picks BQ=896; small B/H keep interpret mode fast
+    B, H, N, Np, Dh = 1, 2, 1765, 1792, 64
+    q, k, v, valid = _case(B, H, N, Np, Dh, jnp.float32)
+    out = ff.flash_fwd(q, k, v, valid, 0.125)
+    ref = _ref_sdpa(q, k, v, valid, 0.125)
+    err = np.abs(np.asarray(out, np.float64)[:, :, :N] - ref[:, :, :N]).max()
+    assert err < 2e-6, err
+
+
+def test_no_mask_all_valid():
+    B, H, N, Dh = 2, 2, 384, 64
+    q, k, v, valid = _case(B, H, N, N, Dh, jnp.float32)
+    out = ff.flash_fwd(q, k, v, valid, 0.25)
+    ref = _ref_sdpa(q, k, v, valid, 0.25)
+    assert np.abs(np.asarray(out, np.float64) - ref).max() < 2e-6
+
+
+def test_layers_dispatch_matches_flash():
+    """Attention(attn_impl='flash_fwd') == attn_impl='flash' on valid rows."""
+    from adaptersis_tpu.models import layers as L
+
+    B, N, H, Dh = 2, 117, 4, 16
+    C = H * Dh
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    outs = {}
+    for impl in ("einsum", "flash_fwd"):
+        attn = L.Attention(num_heads=H, attn_impl=impl, dtype=jnp.float32)
+        params = attn.init(jax.random.PRNGKey(0), x)
+        outs[impl] = np.asarray(attn.apply(params, x))
+    assert np.abs(outs["einsum"] - outs["flash_fwd"]).max() < 1e-5

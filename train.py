@@ -81,7 +81,8 @@ def get_args_parser():
     p.add_argument("--cross_test_path", default="", type=str,
                    help="optional second validation dataset root (cross-dataset "
                         "eval, reference eval_dinov2_setr_cross_ete.py:176,490)")
-    p.add_argument("--attn_impl", default="einsum", choices=["einsum", "flash"],
+    p.add_argument("--attn_impl", default="einsum",
+                   choices=["einsum", "flash", "flash_fwd"],
                    help="backbone self-attention: plain XLA SDPA or the tuned "
                         "Pallas flash kernel (TPU; O(N) memory, faster at the "
                         "flagship 1765-token sequence)")
