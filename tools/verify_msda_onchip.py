@@ -10,11 +10,16 @@ ms_deform_attn_core_pytorch) ON THE TPU, at BOTH flagship geometries
 (ViT-L@588: CAViT 1764 queries / 73-37-19 pyramid, CACNN 9261 queries / 42x42),
 forward + all three gradients:
 
-- fp32 inputs: both paths run fp32 end to end -> tight bound (<= 1e-3 relative
-  to the gradient's own scale; fwd <= 1e-4). Any Mosaic miscompile shows here.
-- bf16 value (the shipped trainer path): loose sanity bound (<= 2e-2 relative)
-  -- bf16 factor/dot rounding differs between the two implementations by
-  construction, so this only guards against gross corruption.
+- fp32 inputs: both paths run fp32 end to end. The bound is NOT fp32 eps:
+  the v5e MXU multiplies f32 dot operands at bf16 precision by default, while
+  the XLA gather core computes the same contractions as ELEMENTWISE VPU
+  multiplies (exact f32) -- measured floor ~3-6e-3 relative, so the bound is
+  1e-2 (fwd) / 2e-2 (grads). Any real miscompile class (wrong lane, off-by-one
+  corner, dropped group/level) produces O(1e-1..1) errors on these random
+  inputs and still fails loudly. (CPU interpret runs true-f32 dots and holds
+  1e-4/1e-3 -- tests/test_msda_pallas.py.)
+- bf16 value (the shipped trainer path): same 2e-2 sanity bound -- bf16
+  factor/dot rounding differs between the two implementations by construction.
 
 Run once per round on the real chip; the output table is committed as
 VERIFY_MSDA_ONCHIP.md. Exits 1 on any FAIL.
@@ -105,7 +110,7 @@ def main():
     print(f"devices: {jax.devices()}")
     cnn = ((73, 73), (37, 37), (19, 19))
     rows, ok = [], True
-    for vdtype, ftol, gtol in ((jnp.float32, 1e-4, 1e-3),
+    for vdtype, ftol, gtol in ((jnp.float32, 1e-2, 2e-2),
                                (jnp.bfloat16, 2e-2, 2e-2)):
         ok &= check("CAViT", cnn, 1764, [(42, 42)], vdtype, ftol, gtol, rows)
         ok &= check("CACNN", ((42, 42),), sum(h * w for h, w in cnn), list(cnn),
@@ -118,6 +123,11 @@ def main():
     dev = str(jax.devices()[0])
     lines.append(f"\npallas (merged corner-gather bwd defaults) vs XLA gather "
                  f"core, on-chip ({dev}).")
+    lines.append("fp32 bounds reflect the v5e MXU's default f32-dot precision "
+                 "(bf16 multiplicands, floor ~3-6e-3 vs the gather core's "
+                 "exact elementwise-VPU contractions); real miscompiles "
+                 "(wrong lane/corner/group) are O(1e-1..1) here. CPU "
+                 "interpret holds 1e-4/1e-3 (tests/test_msda_pallas.py).")
     text = "\n".join(lines)
     print(text)
     Path(__file__).resolve().parent.parent.joinpath(
