@@ -69,18 +69,18 @@ def _pick_bq(np_len: int) -> int:
 
 def _kernel(scale, Dh, *refs):
     qref, kref, vref, bref, oref = refs
-    q = qref[0] * jnp.asarray(scale, qref.dtype)           # (BQ, Dh) tiny
+    q = qref[0, 0] * jnp.asarray(scale, qref.dtype)        # (BQ, Dh) tiny
     # S = q·kᵀ — contraction on the LANES of both operands (native Mosaic form)
-    s = jax.lax.dot_general(q, kref[0], (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q, kref[0, 0], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (BQ, Np)
-    s = jnp.minimum(s + bref[...], _CLAMP)
+    s = jnp.minimum(s + bref[0, :1, :], _CLAMP)
     p = jnp.exp(s).astype(qref.dtype)                      # (BQ, Np)
     # [o | l] in ONE dot: vref carries the ones column at lane Dh
-    ol = jax.lax.dot_general(p, vref[0], (((1,), (0,)), ((), ())),
+    ol = jax.lax.dot_general(p, vref[0, 0], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (BQ, Dh+1)
     o = ol[:, :Dh]
     l = ol[:, Dh:Dh + 1]
-    oref[0] = (o * (1.0 / l)).astype(oref.dtype)
+    oref[0, 0] = (o * (1.0 / l)).astype(oref.dtype)
 
 
 def _reference_sdpa(q, k, v, valid, scale):
@@ -122,35 +122,35 @@ def _fwd_impl(q, k, v, valid, scale):
         raise ValueError(f"flash_fwd needs 128-multiple length, got {Np}")
     BQ = _pick_bq(Np)
     dt = q.dtype
-    BH = B * H
-    qs = q.reshape(BH, Np, Dh)
-    ks = k.reshape(BH, Np, Dh)
     # ones column at lane Dh: the o-dot pads Dh 64→128 on the MXU anyway,
     # so the softmax denominator comes out of the same dot for free
-    vp = jnp.concatenate(
-        [v, jnp.ones((B, H, Np, 1), v.dtype)], axis=-1).reshape(BH, Np, Dh + 1)
+    vp = jnp.concatenate([v, jnp.ones((B, H, Np, 1), v.dtype)], axis=-1)
+    # bias replicated on 8 sublanes: Mosaic requires the block's sublane dim
+    # divisible by 8, and indexing by the grid's own b avoids computed
+    # index_maps (a `// H` there lowers to a select Mosaic rejects)
     bias = jnp.where(valid > 0, 0.0, -1e9).astype(jnp.float32)  # (B, Np)
+    bias = jnp.broadcast_to(bias[:, None], (B, 8, Np))
 
     out = pl.pallas_call(
         functools.partial(_kernel, float(scale), Dh),
-        grid=(BH, Np // BQ),
+        grid=(B, H, Np // BQ),
         in_specs=[
-            pl.BlockSpec((1, BQ, Dh), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, 1, BQ, Dh), lambda b, h, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, Dh), lambda i, t: (i, 0, 0),
+            pl.BlockSpec((1, 1, Np, Dh), lambda b, h, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, Dh + 1), lambda i, t: (i, 0, 0),
+            pl.BlockSpec((1, 1, Np, Dh + 1), lambda b, h, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np), lambda i, t: (i // H, 0),
+            pl.BlockSpec((1, 8, Np), lambda b, h, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BQ, Dh), lambda i, t: (i, t, 0),
+        out_specs=pl.BlockSpec((1, 1, BQ, Dh), lambda b, h, t: (b, h, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, Np, Dh), dt),
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, Dh), dt),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 2 ** 20),
         interpret=_interpret(),
-    )(qs, ks, vp, bias)
-    return out.reshape(B, H, Np, Dh)
+    )(q, k, vp, bias)
+    return out
 
 
 flash_fwd.defvjp(_flash_fwd_fwd, _flash_fwd_bwd)

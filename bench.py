@@ -66,8 +66,12 @@ def main() -> None:
     # LN INTO the adjacent MLP matmul fusion (one 2.68 ms kOutput fusion spans
     # fc1+gelu+fc2+residual+next-LN stats); a pallas LN would break that. The
     # fused kernel (ops/layernorm.py) wins only standalone (0.075 vs 0.097 ms).
+    # flash_fwd: the bespoke forward-only flash kernel (ops/flash_fwd.py) —
+    # every walk block sits under stop_gradient, so the library kernel's
+    # backward never runs and the fwd-only clamp-softmax form is safe
     backbone = build_backbone("vit_large", img_size=518, patch_size=14,
-                              attn_impl="flash", gelu_approx=True,
+                              attn_impl=os.environ.get("ASN_ATTN", "flash_fwd"),
+                              gelu_approx=True,
                               ln_impl=os.environ.get("ASN_LN", "xla"),
                               # fused LN→fc1→gelu→fc2→ls2→residual kernel
                               # (ops/fused_mlp.py); ASN_MLP=xla A/Bs it off

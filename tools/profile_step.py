@@ -35,7 +35,8 @@ def main():
     msda_pallas.use_uform_bwd(os.environ.get("ASN_MSDA_UFORM", "1") != "0")
     msda_pallas.use_gather_bwd(os.environ.get("ASN_GATHER_BWD", "1") != "0")
     backbone = build_backbone("vit_large", img_size=518, patch_size=14,
-                              attn_impl="flash", gelu_approx=True,
+                              attn_impl=os.environ.get("ASN_ATTN", "flash_fwd"),
+                              gelu_approx=True,
                               mlp_impl=os.environ.get("ASN_MLP", "pallas"),
                               qkv_impl=os.environ.get("ASN_QKV", "pallas"),
                               dtype=jnp.bfloat16)
