@@ -474,7 +474,10 @@ class Block(nn.Module):
             Dh = C // H
             s1, be1 = _LNParams(self.dim, name="norm1")()
             kq, bq, kp, bp = _AttnParams(self.dim, name="attn")()
-            q, k, v = fused_ln_qkv(x, s1, be1, kq, bq, H)
+            # flash_fwd consumes v with its softmax-denominator ones column
+            # appended — bake it into the qkv kernel's store (no XLA pad)
+            q, k, v = fused_ln_qkv(x, s1, be1, kq, bq, H, 1e-6,
+                                   self.attn_impl == "flash_fwd")
             sdpa = (_flash_fwd_bhnd if self.attn_impl == "flash_fwd"
                     else _flash_bhnd)
             out = sdpa(q, k, v, 1.0 / math.sqrt(Dh), N,

@@ -85,6 +85,8 @@ def _kernel(scale, Dh, *refs):
 
 def _reference_sdpa(q, k, v, valid, scale):
     """Plain-XLA masked softmax attention — the VJP recompute path."""
+    if v.shape[-1] == q.shape[-1] + 1:      # pre-baked ones column (fused_qkv)
+        v = v[..., :-1]
     s = jnp.einsum("bhqd,bhkd->bhqk", (q * scale).astype(q.dtype), k)
     s = jnp.where(valid[:, None, None, :] > 0, s.astype(jnp.float32),
                   -jnp.inf)
@@ -123,8 +125,14 @@ def _fwd_impl(q, k, v, valid, scale):
     BQ = _pick_bq(Np)
     dt = q.dtype
     # ones column at lane Dh: the o-dot pads Dh 64→128 on the MXU anyway,
-    # so the softmax denominator comes out of the same dot for free
-    vp = jnp.concatenate([v, jnp.ones((B, H, Np, 1), v.dtype)], axis=-1)
+    # so the softmax denominator comes out of the same dot for free. When v
+    # arrives pre-widened (fused_ln_qkv(v_ones=True) bakes the column into
+    # its store), the XLA pad below — ~0.35 ms × 48 block applications at
+    # the flagship — disappears entirely.
+    if v.shape[-1] == Dh + 1:
+        vp = v
+    else:
+        vp = jnp.concatenate([v, jnp.ones((B, H, Np, 1), v.dtype)], axis=-1)
     # bias replicated on 8 sublanes: Mosaic requires the block's sublane dim
     # divisible by 8, and indexing by the grid's own b avoids computed
     # index_maps (a `// H` there lowers to a select Mosaic rejects)

@@ -42,7 +42,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(eps, H, *refs):
+def _kernel(eps, H, v_ones, *refs):
     xref, lsref, lbref, wref, bref, qref, kref, vref = refs
     x = xref[0]                                            # (TR, C)
     xf = x.astype(jnp.float32)
@@ -60,10 +60,17 @@ def _kernel(eps, H, *refs):
     Dh = C // H
     # head split as H static lane slices per output (Mosaic can't shape-cast
     # a lane split like (TR, 3C) -> (TR, H, Dh)); each write is (TR, Dh)
+    ones = jnp.ones((y.shape[0], 1), y.dtype) if v_ones else None
     for i, oref in enumerate((qref, kref, vref)):
         for h in range(H):
             s = i * C + h * Dh
-            oref[0, h] = y[:, s:s + Dh]
+            if v_ones and oref is vref:
+                # flash_fwd's softmax-denominator column (ops/flash_fwd.py)
+                # baked in here: saves a (B, H, N, 64→65) XLA pad per block
+                # application (~0.35 ms ×48 = ~17 ms/step at the flagship)
+                oref[0, h] = jnp.concatenate([y[:, s:s + Dh], ones], axis=1)
+            else:
+                oref[0, h] = y[:, s:s + Dh]
 
 
 def reference_ln_qkv(x, ln_scale, ln_bias, w, b, num_heads, eps=1e-6):
@@ -81,7 +88,7 @@ def reference_ln_qkv(x, ln_scale, ln_bias, w, b, num_heads, eps=1e-6):
     return y[0], y[1], y[2]
 
 
-def _fwd_impl(x, ln_scale, ln_bias, w, b, num_heads, eps):
+def _fwd_impl(x, ln_scale, ln_bias, w, b, num_heads, eps, v_ones=False):
     B, N, C = x.shape
     H = num_heads
     Dh = C // H
@@ -94,11 +101,12 @@ def _fwd_impl(x, ln_scale, ln_bias, w, b, num_heads, eps):
     row = lambda a, n: a.reshape(1, n).astype(jnp.float32)  # noqa: E731
     const = lambda shape: pl.BlockSpec(                     # noqa: E731
         shape, lambda bi, ti: (0, 0), memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, H, TR, Dh), lambda bi, ti: (bi, 0, ti, 0),
-                         memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((B, H, Np, Dh), dt)
+    Dv = Dh + 1 if v_ones else Dh
+    ospec = lambda d: pl.BlockSpec(                         # noqa: E731
+        (1, H, TR, d), lambda bi, ti: (bi, 0, ti, 0), memory_space=pltpu.VMEM)
+    oshape = lambda d: jax.ShapeDtypeStruct((B, H, Np, d), dt)  # noqa: E731
     q, k, v = pl.pallas_call(
-        functools.partial(_kernel, float(eps), H),
+        functools.partial(_kernel, float(eps), H, v_ones),
         grid=(B, Np // TR),
         in_specs=[
             pl.BlockSpec((1, TR, C), lambda bi, ti: (bi, ti, 0),
@@ -106,28 +114,34 @@ def _fwd_impl(x, ln_scale, ln_bias, w, b, num_heads, eps):
             const((1, C)), const((1, C)),
             const((3 * C, C)), const((1, 3 * C)),
         ],
-        out_specs=[ospec, ospec, ospec],
-        out_shape=[oshape, oshape, oshape],
+        out_specs=[ospec(Dh), ospec(Dh), ospec(Dv)],
+        out_shape=[oshape(Dh), oshape(Dh), oshape(Dv)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2 ** 20),
         interpret=_interpret(),
     )(x, row(ln_scale, C), row(ln_bias, C), wt, row(b, 3 * C))
     return q[:, :, :N], k[:, :, :N], v[:, :, :N]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_ln_qkv(x, ln_scale, ln_bias, w, b, num_heads, eps=1e-6):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_ln_qkv(x, ln_scale, ln_bias, w, b, num_heads, eps=1e-6,
+                 v_ones=False):
     """(q, k, v) each (B, H, N, C//H) from x (B, N, C).
 
-    ln_scale/ln_bias (C,) fp32; w (C, 3C), b (3C,) fp32 (cast to x.dtype)."""
-    return _fwd_impl(x, ln_scale, ln_bias, w, b, num_heads, eps)
+    ln_scale/ln_bias (C,) fp32; w (C, 3C), b (3C,) fp32 (cast to x.dtype).
+    v_ones=True appends flash_fwd's softmax-denominator ones column to v
+    (→ (B, H, N, C//H + 1)); only valid with attn_impl="flash_fwd"."""
+    return _fwd_impl(x, ln_scale, ln_bias, w, b, num_heads, eps, v_ones)
 
 
-def _fused_fwd(x, ln_scale, ln_bias, w, b, num_heads, eps):
-    out = _fwd_impl(x, ln_scale, ln_bias, w, b, num_heads, eps)
+def _fused_fwd(x, ln_scale, ln_bias, w, b, num_heads, eps, v_ones):
+    out = _fwd_impl(x, ln_scale, ln_bias, w, b, num_heads, eps, v_ones)
     return out, (x, ln_scale, ln_bias, w, b)
 
 
-def _fused_bwd(num_heads, eps, res, dy):
+def _fused_bwd(num_heads, eps, v_ones, res, dy):
+    if v_ones:
+        dq, dk, dv = dy
+        dy = (dq, dk, dv[..., :-1])
     _, vjp = jax.vjp(
         functools.partial(reference_ln_qkv, num_heads=num_heads, eps=eps),
         *res)

@@ -53,6 +53,26 @@ def test_masked_padded(dtype, tol):
     assert err < tol, err
 
 
+def test_prewidened_v_matches_plain():
+    """v arriving with the ones column already appended (fused_ln_qkv
+    v_ones=True) must produce the identical output — fwd and grads."""
+    B, H, N, Np, Dh = 2, 2, 117, 256, 64
+    q, k, v, valid = _case(B, H, N, Np, Dh, jnp.float32)
+    vp = jnp.concatenate([v, jnp.ones((B, H, Np, 1), v.dtype)], axis=-1)
+    out0 = ff.flash_fwd(q, k, v, valid, 0.125)
+    out1 = ff.flash_fwd(q, k, vp, valid, 0.125)
+    assert float(jnp.abs(out0 - out1).max()) == 0.0
+
+    def loss(vv):
+        o = ff.flash_fwd(q, k, vv, valid, 0.125)
+        return ((o[:, :, :N] + 1.0) ** 2).sum()
+
+    g0 = jax.grad(loss)(v)
+    g1 = jax.grad(loss)(vp)
+    assert g1.shape == vp.shape
+    assert float(jnp.abs(g1[..., :-1] - g0).max()) < 1e-5
+
+
 def test_flagship_shape_f32():
     # 1792 picks BQ=896; small B/H keep interpret mode fast
     B, H, N, Np, Dh = 1, 2, 1765, 1792, 64

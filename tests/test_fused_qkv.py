@@ -61,6 +61,36 @@ def test_fused_qkv_row_padding():
         assert float(jnp.abs(a - b).max()) < 1e-5
 
 
+def test_fused_qkv_v_ones_column():
+    """v_ones=True emits v widened to Dh+1 with the flash_fwd denominator
+    ones column baked in; q/k and v[..., :-1] are unchanged."""
+    *args, H = _inputs()
+    q0, k0, v0 = fq.fused_ln_qkv(*args, H)
+    q1, k1, v1 = fq.fused_ln_qkv(*args, H, 1e-6, True)
+    assert v1.shape == v0.shape[:-1] + (v0.shape[-1] + 1,)
+    assert float(jnp.abs(q1 - q0).max()) == 0.0
+    assert float(jnp.abs(k1 - k0).max()) == 0.0
+    assert float(jnp.abs(v1[..., :-1] - v0).max()) == 0.0
+    assert float(jnp.abs(v1[..., -1] - 1.0).max()) == 0.0
+
+
+def test_fused_qkv_v_ones_grads_match_plain():
+    """Gradients through the widened-v path equal the plain path (the ones
+    column is constant, so its cotangent must not leak into the inputs)."""
+    *args, H = _inputs()
+
+    def loss(widen, *a):
+        q, k, v = fq.fused_ln_qkv(*a, H, 1e-6, widen)
+        if widen:
+            v = v[..., :-1]
+        return (q ** 2).sum() + (k ** 2).sum() + (v ** 2).sum()
+
+    g0 = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 3, 4))(*args)
+    g1 = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 3, 4))(*args)
+    for a, b in zip(g0, g1):
+        assert float(jnp.abs(a - b).max()) < 1e-6
+
+
 def test_fused_qkv_grads_match_reference():
     *args, H = _inputs()
     g1 = jax.grad(lambda *a: sum((t ** 2).sum()
