@@ -1140,21 +1140,53 @@ def _fspec(F, Lqp):
                         memory_space=pltpu.VMEM)
 
 
-def _map_args(maps, kind):
+def _map_args(maps, kind, two_idx=False):
     """Constant coordinate maps as kernel inputs (pallas forbids captures).
 
     kind='float' ships (hrowf, wcolf) for the hat-function A build (fwd/dv
     kernels); kind='int' ships (hrow, wcol) for the exact corner masks (bwd
-    kernels). Disjoint on purpose — see the _NM comment."""
+    kernels). Disjoint on purpose — see the _NM comment. two_idx=True emits
+    index maps for the (B, M) grid of the flat-2D layout."""
     args = []
     for hrow, wcol, hrowf, wcolf in maps:
         if kind == "float":
             args += [jnp.asarray(hrowf), jnp.asarray(wcolf)]
         else:
             args += [jnp.asarray(hrow), jnp.asarray(wcol)]
-    specs = [pl.BlockSpec(a.shape, lambda bm: (0, 0),
-                          memory_space=pltpu.VMEM) for a in args]
+    idx = (lambda b, m: (0, 0)) if two_idx else (lambda bm: (0, 0))
+    specs = [pl.BlockSpec(a.shape, idx, memory_space=pltpu.VMEM)
+             for a in args]
     return args, specs
+
+
+def _flat2d(D: int) -> bool:
+    """True → values/gradients/outputs cross the kernel boundary in their
+    NATURAL (B, rows, M·D) layout, with the per-(b, m) slab selected by a
+    128-aligned lane-slice BlockSpec over a (B, M) grid instead of being
+    physically transposed to (B·M, rows, D) first. At the flagship geometry
+    the four relayout copies this kills (value fold ~9.8 ms, incoming-grad
+    fold ~7.8 ms, fwd-out unfold, dV unfold) cost ~20 ms/step; a 128-lane
+    slice of a (8, 128)-tiled array is whole tiles, so the strided DMA runs
+    at full bandwidth. Requires D to be a lane multiple."""
+    return D % 128 == 0
+
+
+def _lane_spec(rows: int, D: int):
+    """(1, rows, D) block of a (B, rows, M·D) array at lane offset m·D."""
+    return pl.BlockSpec((1, rows, D), lambda b, m: (b, 0, m),
+                        memory_space=pltpu.VMEM)
+
+
+def _bm_specs(M, f, Lqp, act, gl):
+    """(B, M)-grid versions of the standard BM-major input specs."""
+    f_spec = pl.BlockSpec((1, f.shape[1], Lqp), lambda b, m: (b * M + m, 0, 0),
+                          memory_space=pltpu.VMEM)
+    act_spec = pl.BlockSpec((1,) + act.shape[1:],
+                            lambda b, m: (b * M + m, 0, 0, 0),
+                            memory_space=pltpu.SMEM) if act is not None else None
+    gl_spec = pl.BlockSpec((1,) + gl.shape[1:], lambda b, m: (b * M + m, 0, 0),
+                           memory_space=pltpu.SMEM) if gl is not None else None
+    return f_spec, act_spec, gl_spec
 
 
 def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes,
@@ -1165,17 +1197,41 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes,
     BM = B * M
     TQ, Lqp = _prep_shapes(Lq)
     G, starts, maps = _plan(spatial_shapes, _GW_FWD)
-    vb = _fold_value(value, G, gw=_GW_FWD)
+    flat2d = _flat2d(D)
+    if flat2d:
+        vb = jnp.pad(value.reshape(B, S, M * D),
+                     [(0, 0), (0, G * _GW_FWD - S), (0, 0)])
+    else:
+        vb = _fold_value(value, G, gw=_GW_FWD)
     f_raw = _fold_factors(sampling_locations, attention_weights,
                           spatial_shapes)
     f = _pad_factors(f_raw, Lqp)
 
-    map_args, map_specs = _map_args(maps, "float")
     act = _activation_table(f, spatial_shapes, starts, TQ, G, _GW_FWD)
     gl = _group_list(act)
+    kern = functools.partial(_fwd_kernel, spatial_shapes, G, starts, TQ,
+                             Lqp // TQ, P, value.dtype)
+    common = dict(
+        scratch_shapes=[pltpu.VMEM((Lqp, f.shape[1]), jnp.float32)],
+        # headroom for the one-hot-expansion A build's (P·TQ, gw) stacks
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2 ** 20),
+        interpret=_interpret(),
+    )
+    map_args, map_specs = _map_args(maps, "float", two_idx=flat2d)
+    if flat2d:
+        f_spec, act_spec, gl_spec = _bm_specs(M, f, Lqp, act, gl)
+        out = pl.pallas_call(
+            kern, grid=(B, M),
+            in_specs=[f_spec, act_spec, gl_spec] + map_specs
+            + [_lane_spec(G * _GW_FWD, D)],
+            out_specs=_lane_spec(Lqp, D),
+            out_shape=jax.ShapeDtypeStruct((B, Lqp, M * D), value.dtype),
+            **common,
+        )(f, act, gl, *map_args, vb)
+        out = out[:, :Lq].astype(jnp.float32)
+        return (out, f_raw, vb) if return_f else out
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, spatial_shapes, G, starts, TQ,
-                          Lqp // TQ, P, value.dtype),
+        kern,
         grid=(BM,),
         in_specs=[_fspec(f.shape[1], Lqp),
                   pl.BlockSpec((1,) + act.shape[1:],
@@ -1186,10 +1242,7 @@ def _fwd_impl(value, sampling_locations, attention_weights, spatial_shapes,
         + [_full_spec(G * _GW_FWD, D)],
         out_specs=_full_spec(Lqp, D),
         out_shape=jax.ShapeDtypeStruct((BM, Lqp, D), value.dtype),
-        scratch_shapes=[pltpu.VMEM((Lqp, f.shape[1]), jnp.float32)],
-        # headroom for the one-hot-expansion A build's (P·TQ, gw) stacks
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 2 ** 20),
-        interpret=_interpret(),
+        **common,
     )(f, act, gl, *map_args, vb)
     out = out[:, :Lq].reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
     out = out.reshape(B, Lq, M * D).astype(jnp.float32)
@@ -1212,9 +1265,12 @@ def _msda_fwd(value, sampling_locations, attention_weights, spatial_shapes):
     # _fold_value/_fold_factors images (f is ~7-10× smaller than fp32 loc+aw
     # at flagship shapes — ~2.7 GB/step of residuals saved), and reusing the
     # forward's vb kills a 58-231 MB relayout per call in the backward
-    # (identical numerics in all cases)
+    # (identical numerics in all cases). The loc dtype carrier's SHAPE
+    # statically encodes (M, flat2d-layout) so the backward can interpret vb.
+    M = value.shape[2]
     return out, (vb, f,
-                 jnp.zeros((0,), sampling_locations.dtype),
+                 jnp.zeros((M, int(_flat2d(value.shape[3])), 0),
+                           sampling_locations.dtype),
                  jnp.zeros((0,), attention_weights.dtype))
 
 
@@ -1223,9 +1279,10 @@ def _msda_bwd(spatial_shapes, res, grad):
     spatial_shapes = tuple(map(tuple, spatial_shapes))
     S = sum(h * w for h, w in spatial_shapes)
     L = len(spatial_shapes)
-    D = vb.shape[2]
     B = grad.shape[0]
-    M = grad.shape[2] // D
+    M = loc_dt.shape[0]
+    flat = loc_dt.shape[1] == 1          # vb/g/dv in (B, rows, M·D) layout
+    D = vb.shape[2] // M if flat else vb.shape[2]
     Lq = f_raw.shape[2]
     P = f_raw.shape[1] // (3 * L)
     BM = B * M
@@ -1236,13 +1293,23 @@ def _msda_bwd(spatial_shapes, res, grad):
     # zeros if the bwd group width needs more (equal at all flagship shapes)
     if vb.shape[1] < G * gw:
         vb = jnp.pad(vb, [(0, 0), (0, G * gw - vb.shape[1]), (0, 0)])
+    if flat and not _MERGED_BWD:
+        # the split-kernel ablation baseline keeps the BM-major layout:
+        # un-flatten the flat residual once (relayout only on this path)
+        vb = vb.reshape(B, -1, M, D).transpose(0, 2, 1, 3).reshape(
+            BM, -1, D)
+        flat = False
     f = _pad_factors(f_raw, Lqp)
-    g = grad.reshape(B, Lq, M, D).transpose(0, 2, 1, 3).reshape(BM, Lq, D)
-    # ship g (and the dq outputs) in vb.dtype: halves the whole-Lqp VMEM
-    # blocks on the bf16 path; the fp32 parity path is unchanged
-    g = jnp.pad(g.astype(vb.dtype), [(0, 0), (0, Lqp - Lq), (0, 0)])
+    if flat:
+        # natural layout: no incoming-grad fold — the kernels lane-slice it
+        g = jnp.pad(grad.astype(vb.dtype), [(0, 0), (0, Lqp - Lq), (0, 0)])
+    else:
+        g = grad.reshape(B, Lq, M, D).transpose(0, 2, 1, 3).reshape(BM, Lq, D)
+        # ship g (and the dq outputs) in vb.dtype: halves the whole-Lqp VMEM
+        # blocks on the bf16 path; the fp32 parity path is unchanged
+        g = jnp.pad(g.astype(vb.dtype), [(0, 0), (0, Lqp - Lq), (0, 0)])
 
-    map_args, map_specs = _map_args(maps, "int")
+    map_args, map_specs = _map_args(maps, "int", two_idx=flat)
     # the dq kernel keeps ~6 (TQ, 1024) factor tensors live — halve its tile
     # when TQ is large (lane-sliced factor reads need 128-multiples, so never
     # below 128; tiny interpret-mode shapes keep TQ as-is)
@@ -1253,23 +1320,37 @@ def _msda_bwd(spatial_shapes, res, grad):
         transposed = D % 128 != 0
         act = _activation_table(f, spatial_shapes, starts, TQd, G, gw)
         gl = _group_list(act)
-        act_spec = pl.BlockSpec((1,) + act.shape[1:], lambda bm: (bm, 0, 0, 0),
-                                memory_space=pltpu.SMEM)
-        gl_spec = pl.BlockSpec((1,) + gl.shape[1:], lambda bm: (bm, 0, 0),
-                               memory_space=pltpu.SMEM)
-        if transposed:
-            ins = [f, act, gl, *map_args, vb.transpose(0, 2, 1), g,
-                   g.transpose(0, 2, 1)]
-            in_specs = [_fspec(f.shape[1], Lqp), act_spec, gl_spec] \
-                + map_specs + [
-                _fspec(D, G * gw), _full_spec(Lqp, D), _fspec(D, Lqp)]
-            dv_spec, dv_shape = _fspec(D, G * gw), (BM, D, G * gw)
-        else:
+        if flat:
+            grid = (B, M)
+            f_spec, act_spec, gl_spec = _bm_specs(M, f, Lqp, act, gl)
+            dq_spec = pl.BlockSpec((1, 3 * L * P, Lqp),
+                                   lambda b, m: (b * M + m, 0, 0),
+                                   memory_space=pltpu.VMEM)
             ins = [f, act, gl, *map_args, vb, g]
-            in_specs = [_fspec(f.shape[1], Lqp), act_spec, gl_spec] \
-                + map_specs + [
-                _full_spec(G * gw, D), _full_spec(Lqp, D)]
-            dv_spec, dv_shape = _full_spec(G * gw, D), (BM, G * gw, D)
+            in_specs = [f_spec, act_spec, gl_spec] + map_specs + [
+                _lane_spec(G * gw, D), _lane_spec(Lqp, D)]
+            dv_spec, dv_shape = _lane_spec(G * gw, D), (B, G * gw, M * D)
+        else:
+            grid = (BM,)
+            dq_spec = _fspec(3 * L * P, Lqp)
+            act_spec = pl.BlockSpec((1,) + act.shape[1:],
+                                    lambda bm: (bm, 0, 0, 0),
+                                    memory_space=pltpu.SMEM)
+            gl_spec = pl.BlockSpec((1,) + gl.shape[1:], lambda bm: (bm, 0, 0),
+                                   memory_space=pltpu.SMEM)
+            if transposed:
+                ins = [f, act, gl, *map_args, vb.transpose(0, 2, 1), g,
+                       g.transpose(0, 2, 1)]
+                in_specs = [_fspec(f.shape[1], Lqp), act_spec, gl_spec] \
+                    + map_specs + [
+                    _fspec(D, G * gw), _full_spec(Lqp, D), _fspec(D, Lqp)]
+                dv_spec, dv_shape = _fspec(D, G * gw), (BM, D, G * gw)
+            else:
+                ins = [f, act, gl, *map_args, vb, g]
+                in_specs = [_fspec(f.shape[1], Lqp), act_spec, gl_spec] \
+                    + map_specs + [
+                    _full_spec(G * gw, D), _full_spec(Lqp, D)]
+                dv_spec, dv_shape = _full_spec(G * gw, D), (BM, G * gw, D)
         if _GATHER_BWD and _gather_ok(spatial_shapes):
             kern = _bwd_merged_gather_kernel
         elif _UFORM_BWD:
@@ -1279,9 +1360,9 @@ def _msda_bwd(spatial_shapes, res, grad):
         dq, dv = pl.pallas_call(
             functools.partial(kern, spatial_shapes, G, starts,
                               TQd, Lqp // TQd, P, vb.dtype, transposed, gw),
-            grid=(BM,),
+            grid=grid,
             in_specs=in_specs,
-            out_specs=[_fspec(3 * L * P, Lqp), dv_spec],
+            out_specs=[dq_spec, dv_spec],
             out_shape=[jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), vb.dtype),
                        jax.ShapeDtypeStruct(dv_shape, vb.dtype)],
             # (3LP, TQ, 1) accumulator scratch for the gather kernel (the
@@ -1302,7 +1383,12 @@ def _msda_bwd(spatial_shapes, res, grad):
         dx = dq[:, :, :L * P]
         dy = dq[:, :, L * P:2 * L * P]
         da = dq[:, :, 2 * L * P:]
-        dv = dv.astype(jnp.float32)[:, :S].reshape(B, M, S, D).transpose(0, 2, 1, 3)
+        if flat:
+            # already (B, rows, M·D): row-slice + free reshape, no transpose
+            dv = dv.astype(jnp.float32)[:, :S].reshape(B, S, M, D)
+        else:
+            dv = dv.astype(jnp.float32)[:, :S].reshape(
+                B, M, S, D).transpose(0, 2, 1, 3)
 
         def unfold_qm(t):
             return t[:, :Lq].reshape(B, M, Lq, L, P).transpose(0, 2, 1, 3, 4)

@@ -51,12 +51,20 @@ def bench(name, shapes, Lq, query_shapes):
 
     def bwd_fn(v_, l_, w_, g_):
         # build the residuals the VJP would have saved (vb folded at the fwd
-        # group width, unpadded packed factors, dtype carriers)
+        # group width — flat 2-D when D is a lane multiple — unpadded packed
+        # factors, and the (M, flat) shape-carrying dtype carrier)
         TQ, Lqp = mp._prep_shapes(Lq)
         Gf, _, _ = mp._plan(tuple(shapes), mp._GW_FWD)
-        vb = mp._fold_value(v_, Gf, gw=mp._GW_FWD)
+        flat = mp._flat2d(v_.shape[3])
+        if flat:
+            B_, S_, M_, D_ = v_.shape
+            vb = jnp.pad(v_.reshape(B_, S_, M_ * D_),
+                         [(0, 0), (0, Gf * mp._GW_FWD - S_), (0, 0)])
+        else:
+            vb = mp._fold_value(v_, Gf, gw=mp._GW_FWD)
         f = mp._fold_factors(l_, w_, tuple(shapes))
-        res = (vb, f, jnp.zeros((0,), l_.dtype), jnp.zeros((0,), w_.dtype))
+        res = (vb, f, jnp.zeros((v_.shape[2], int(flat), 0), l_.dtype),
+               jnp.zeros((0,), w_.dtype))
         return mp._msda_bwd(tuple(shapes), res, g_)
 
     bwd = jax.jit(bwd_fn)
