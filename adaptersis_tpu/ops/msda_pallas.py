@@ -63,7 +63,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_GW = 1024       # flat source pixels per group (A-tile lane count), bwd kernels
+_GW = int(os.environ.get("ASN_MSDA_GW", "512"))
+                 # flat source pixels per group (A-tile lane count), bwd
+                 # kernels. Round-4 on-chip sweep (tools/bench_msda_bwd_only,
+                 # flagship): 512 → 38.0/46.9 ms (CAViT/CACNN) vs 1024 →
+                 # 41.6/48.1, 2048 → 57.4/62.9 — finer activation skipping
+                 # beats the extra per-group fixed dot cost. The round-3
+                 # "512 loses" result predates the SMEM activation table.
+                 # (env override ASN_MSDA_GW for on-chip sweeps)
 _GW_FWD = 512    # fwd kernel group width — measured 28.8→23.2 ms/call (CAViT
                  # flagship geometry): smaller tiles skip more, and the fwd
                  # does only ONE dot per group so the extra fixed dot cost is
@@ -316,6 +323,19 @@ def _tile_state(fref, ts, TQ, spatial_shapes, starts, P, pre_t=False):
     spans = [_corner_span(fc[0], fc[2], H, W, st)
              for fc, (H, W), st in zip(facs, spatial_shapes, starts)]
     return facs, spans
+
+
+def _store_dq(dq_ref, ts, TQ, cols, dqnat):
+    """Write one query tile of dq. dqnat: natural (TQ, F3) ROW store into a
+    (1, Lqp, F3) block — kills the per-tile (TQ, F3)→(F3, TQ) transpose
+    (~4.6 µs/tile ≈ 8 ms/call at flagship, the round-4 'noepi' ablation) AND
+    the wrapper's XLA-side dq relayout transpose. Costs lane padding F3→128 on
+    the output block only (written once per tile, never re-read)."""
+    t = jnp.concatenate(cols, axis=1)
+    if dqnat:
+        dq_ref[0, pl.ds(ts, TQ), :] = t.astype(dq_ref.dtype)
+    else:
+        dq_ref[0, :, pl.ds(ts, TQ)] = t.T.astype(dq_ref.dtype)
 
 
 def _build_a(facs, spans, maps, g, TQ, P, gw=_GW):
@@ -601,7 +621,7 @@ def _bwd_dq_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype, gw, *refs):
 
 
 def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
-                       transposed, gw, *refs):
+                       transposed, gw, dqnat, *refs):
     """dq + dV in ONE kernel: the ty·tx variant tiles the dq gdots already
     build are reused to accumulate per-level A-tiles, and dV is accumulated
     inside each level's active branch — the separate dV kernel's whole factor
@@ -706,15 +726,14 @@ def _bwd_merged_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
             das.append(da)
             dxs.append(dx * aw * W)
             dys.append(dy * aw * H)
-        dq_ref[0, :, pl.ds(ts, TQ)] = jnp.concatenate(
-            dxs + dys + das, axis=1).T.astype(dq_ref.dtype)
+        _store_dq(dq_ref, ts, TQ, dxs + dys + das, dqnat)
         return 0
 
     jax.lax.fori_loop(0, nQ, tile, 0)
 
 
 def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
-                             transposed, gw, *refs):
+                             transposed, gw, dqnat, *refs):
     """u-form merged backward: ONE u = g @ Vᵀ dot per (group, tile) replaces
     the 3·P-stacked variant dot per (group, level).
 
@@ -858,15 +877,14 @@ def _bwd_merged_uform_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
             das.append(da)
             dxs.append(dx * aw * W)
             dys.append(dy * aw * H)
-        dq_ref[0, :, pl.ds(ts, TQ)] = jnp.concatenate(
-            dxs + dys + das, axis=1).T.astype(dq_ref.dtype)
+        _store_dq(dq_ref, ts, TQ, dxs + dys + das, dqnat)
         return 0
 
     jax.lax.fori_loop(0, nQ, tile, 0)
 
 
 def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
-                              transposed, gw, *refs):
+                              transposed, gw, dqnat, *refs):
     """Corner-gather merged backward — the structural successor to the u-form.
 
     Every dq scalar only needs u = g·Vᵀ at the point's FOUR bilinear corners:
@@ -1065,11 +1083,14 @@ def _bwd_merged_gather_kernel(spatial_shapes, G, starts, TQ, nQ, P, a_dtype,
             dxs.append(jnp.concatenate(dx_p, axis=1) * aw * W)
             dys.append(jnp.concatenate(dy_p, axis=1) * aw * H)
         if "noepi" in _ABLATE:  # WRONG NUMERICS: per-tile epilogue cost
-            dq_ref[0, :, pl.ds(ts, TQ)] = jnp.zeros(
-                (F3, TQ), dq_ref.dtype)
+            if dqnat:
+                dq_ref[0, pl.ds(ts, TQ), :] = jnp.zeros(
+                    (TQ, F3), dq_ref.dtype)
+            else:
+                dq_ref[0, :, pl.ds(ts, TQ)] = jnp.zeros(
+                    (F3, TQ), dq_ref.dtype)
         else:
-            dq_ref[0, :, pl.ds(ts, TQ)] = jnp.concatenate(
-                dxs + dys + das, axis=1).T.astype(dq_ref.dtype)
+            _store_dq(dq_ref, ts, TQ, dxs + dys + das, dqnat)
         return 0
 
     jax.lax.fori_loop(0, nQ, tile, 0)
@@ -1090,10 +1111,17 @@ _MERGED_BWD = True
 _EXPAND_FWD = False
 _UFORM_BWD = True
 _REDUCE_DOT = False  # u-form: lane-reduces as ONE stacked MXU ones-dot
+# dq in natural (BM, Lqp, 3LP) layout straight from the merged kernels (see
+# _store_dq) — measured NO WIN on-chip (round 4): 42.7/52.7 vs 41.6/48.1 ms at
+# GW=1024, 38.3/47.1 vs 38.0/46.9 at GW=512. The per-tile (TQ,F3)→(F3,TQ)
+# transpose it removes is NOT the epilogue's cost — the F3→128 lane-padded row
+# store writes ~3.5× the bytes and eats the saving. Kept for A/B reproduction.
+_DQNAT = os.environ.get("ASN_MSDA_DQNAT", "0") != "0"
 # dev-only timing ablations for the u-form merged kernel (WRONG numerics):
 # "noreduce" | "nogradfac" | "nodv" | "noudot" — isolate each cost component
 _ABLATE = os.environ.get("ASN_MSDA_ABLATE", "")
-_TQ_BWD = 0      # optional bwd query-tile override (must divide Lqp)
+_TQ_BWD = int(os.environ.get("ASN_MSDA_TQ_BWD", "0"))
+                 # optional bwd query-tile override (must divide Lqp)
 
 
 def use_expand_fwd(on: bool) -> None:
@@ -1320,11 +1348,12 @@ def _msda_bwd(spatial_shapes, res, grad):
         transposed = D % 128 != 0
         act = _activation_table(f, spatial_shapes, starts, TQd, G, gw)
         gl = _group_list(act)
+        dqnat = _DQNAT
+        dq_blk = (1, Lqp, 3 * L * P) if dqnat else (1, 3 * L * P, Lqp)
         if flat:
             grid = (B, M)
             f_spec, act_spec, gl_spec = _bm_specs(M, f, Lqp, act, gl)
-            dq_spec = pl.BlockSpec((1, 3 * L * P, Lqp),
-                                   lambda b, m: (b * M + m, 0, 0),
+            dq_spec = pl.BlockSpec(dq_blk, lambda b, m: (b * M + m, 0, 0),
                                    memory_space=pltpu.VMEM)
             ins = [f, act, gl, *map_args, vb, g]
             in_specs = [f_spec, act_spec, gl_spec] + map_specs + [
@@ -1332,7 +1361,8 @@ def _msda_bwd(spatial_shapes, res, grad):
             dv_spec, dv_shape = _lane_spec(G * gw, D), (B, G * gw, M * D)
         else:
             grid = (BM,)
-            dq_spec = _fspec(3 * L * P, Lqp)
+            dq_spec = pl.BlockSpec(dq_blk, lambda bm: (bm, 0, 0),
+                                   memory_space=pltpu.VMEM)
             act_spec = pl.BlockSpec((1,) + act.shape[1:],
                                     lambda bm: (bm, 0, 0, 0),
                                     memory_space=pltpu.SMEM)
@@ -1358,12 +1388,12 @@ def _msda_bwd(spatial_shapes, res, grad):
         else:
             kern = _bwd_merged_kernel
         dq, dv = pl.pallas_call(
-            functools.partial(kern, spatial_shapes, G, starts,
-                              TQd, Lqp // TQd, P, vb.dtype, transposed, gw),
+            functools.partial(kern, spatial_shapes, G, starts, TQd,
+                              Lqp // TQd, P, vb.dtype, transposed, gw, dqnat),
             grid=grid,
             in_specs=in_specs,
             out_specs=[dq_spec, dv_spec],
-            out_shape=[jax.ShapeDtypeStruct((BM, 3 * L * P, Lqp), vb.dtype),
+            out_shape=[jax.ShapeDtypeStruct((BM,) + dq_blk[1:], vb.dtype),
                        jax.ShapeDtypeStruct(dv_shape, vb.dtype)],
             # (3LP, TQ, 1) accumulator scratch for the gather kernel (the
             # uform/plain merged kernels receive and ignore it) — see the
@@ -1379,7 +1409,9 @@ def _msda_bwd(spatial_shapes, res, grad):
         )(*ins)
         if transposed:
             dv = dv.transpose(0, 2, 1)
-        dq = dq.astype(jnp.float32).transpose(0, 2, 1)
+        dq = dq.astype(jnp.float32)
+        if not dqnat:
+            dq = dq.transpose(0, 2, 1)
         dx = dq[:, :, :L * P]
         dy = dq[:, :, L * P:2 * L * P]
         da = dq[:, :, 2 * L * P:]
