@@ -80,7 +80,15 @@ def _lerp_axis(x: jax.Array, axis: int, out_size: int, align_corners: bool) -> j
 
 
 def resize_bilinear(x: jax.Array, size: Tuple[int, int], align_corners: bool = False) -> jax.Array:
-    """NHWC bilinear resize matching F.interpolate(mode='bilinear')."""
+    """NHWC bilinear resize matching F.interpolate(mode='bilinear').
+
+    Layout note (round-4 measured dead end, don't retry): deferring the two
+    per-axis restore transposes into ONE trailing (B,C,H',W')→NHWC transpose
+    — to kill the 5 ms relayout copy XLA materializes between the decoder's
+    last 672² upsample and the trailing conv (copy.3889 in the round-4
+    profile) — regressed the full step 20.23→20.17 img/s: XLA just moved the
+    relayout elsewhere and the conv lost its preferred input layout. The
+    chained per-axis form below is the measured-best arrangement."""
     out = _lerp_axis(x, 1, size[0], align_corners)
     out = _lerp_axis(out, 2, size[1], align_corners)
     return out
