@@ -93,3 +93,39 @@ class FeatureEncoder(nn.Module):
         B = x.shape[0]
         flat = lambda y: y.reshape(B, -1, self.embed_dim)
         return c1p, flat(c2p), flat(c3p), flat(c4p), (c2p.shape[1:3], c3p.shape[1:3], c4p.shape[1:3])
+
+
+class PreViT(nn.Module):
+    """2D feature map → patch tokens (backbones/engines.py:1-67 `pre_vit`).
+
+    Unused by any reference trainer (the ViT's own patch embed covers the
+    image path), but part of the reference's public backbone surface:
+    conv(kernel=stride=patch_size) projection from `in_chans` feature planes
+    to `embed_dim` tokens, optional norm, optional (B, H', W', D) unflatten
+    via `flatten_embedding=False`. NHWC in/out (reference is NCHW)."""
+
+    patch_size: int = 14
+    in_chans: int = 256
+    embed_dim: int = 384
+    use_norm: bool = False
+    flatten_embedding: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, _ = x.shape
+        p = self.patch_size
+        assert H % p == 0, f"Input image height {H} is not a multiple of patch height {p}"
+        assert W % p == 0, f"Input image width {W} is not a multiple of patch width: {p}"
+        x = nn.Conv(self.embed_dim, kernel_size=(p, p), strides=(p, p),
+                    padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
+                    name="proj")(x)
+        Hp, Wp = x.shape[1], x.shape[2]
+        x = x.reshape(B, Hp * Wp, self.embed_dim)
+        if self.use_norm:
+            # torch nn.LayerNorm default eps (the reference passes the class)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="norm")(x)
+        if not self.flatten_embedding:
+            x = x.reshape(B, Hp, Wp, self.embed_dim)
+        return x
