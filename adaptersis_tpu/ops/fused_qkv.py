@@ -26,6 +26,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Row-tile height. Sweep result (round 4, tools/bench_qkv.py on v5e at the
+# flagship 16×1792: TR=896 measures ~5% faster STANDALONE (2.73 vs 2.87 ms
+# mean-of-3, tunnel noise ±0.2) but the FULL-STEP bench is neutral-to-worse
+# (20.223 vs 20.231 img/s) — the per-call win is hidden by overlap, so the
+# smaller tile keeps VMEM pressure and compile surface down. A 448 variant
+# hung Mosaic's remote compile >15 min on this image; don't retry.
 _TR = 256
 
 # Tests force interpret mode explicitly; None → interpret off TPU backends.
