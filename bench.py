@@ -24,6 +24,7 @@ A100_EST_IMG_S = 10.0  # see module docstring
 # the reference default bs16 (train.py:670) for recipe comparability
 BATCH = 16   # the reference default batch (train.py:670) — fits since the pallas MSDA kernel
 IMSIZE = 588
+ARCH = "vit_large"
 STEPS = 10
 REPEATS = 3  # median-of-3: run-to-run spread on this tunnel is ~6% (ROUND2_NOTES #8)
 
@@ -33,9 +34,20 @@ def main() -> None:
 
     import jax
 
-    global BATCH
+    # ASN_* overrides exist for headroom experiments and for the CPU smoke
+    # test (tests/test_driver_artifacts.py); the recorded headline is always
+    # the defaults above
+    global BATCH, IMSIZE, ARCH, STEPS, REPEATS
     if os.environ.get("ASN_BATCH"):
         BATCH = int(os.environ["ASN_BATCH"])
+    if os.environ.get("ASN_IMSIZE"):
+        IMSIZE = int(os.environ["ASN_IMSIZE"])
+    if os.environ.get("ASN_ARCH"):
+        ARCH = os.environ["ASN_ARCH"]
+    if os.environ.get("ASN_STEPS"):
+        STEPS = int(os.environ["ASN_STEPS"])
+    if os.environ.get("ASN_REPEATS"):
+        REPEATS = int(os.environ["ASN_REPEATS"])
 
     # the merged corner-gather/u-form backward is the LIBRARY DEFAULT
     # (ops/msda_pallas.py); these knobs exist to A/B the variants
@@ -69,7 +81,7 @@ def main() -> None:
     # flash_fwd: the bespoke forward-only flash kernel (ops/flash_fwd.py) —
     # every walk block sits under stop_gradient, so the library kernel's
     # backward never runs and the fwd-only clamp-softmax form is safe
-    backbone = build_backbone("vit_large", img_size=518, patch_size=14,
+    backbone = build_backbone(ARCH, img_size=518, patch_size=14,
                               attn_impl=os.environ.get("ASN_ATTN", "flash_fwd"),
                               gelu_approx=True,
                               ln_impl=os.environ.get("ASN_LN", "xla"),
