@@ -27,6 +27,39 @@ from .unet_parts import DoubleConv, Down, OutConv, Up
 Dtype = Any
 
 
+class LogitConv(nn.Module):
+    """3×3 logit conv with the output-channel axis zero-padded to a lane-friendly
+    width INSIDE the op (decoders.py:163 `final_out`, :202, :89, :256).
+
+    num_classes=2 puts C=2 on the lane axis of every tensor the conv touches,
+    forcing degenerate T(2,128) tilings: at the flagship 672² geometry the
+    fwd conv, its dX/dW fusions and two relayout copies measured ≈20 ms/step
+    (profile round 4). Computing the SAME conv with the kernel zero-padded to
+    `pad_to` output channels and slicing the result is mathematically identical
+    (convolution is linear per output channel; the pad's gradient is a slice, so
+    dW of the real channels is untouched) but gives XLA proper tiles. Param
+    pytree (kernel/bias names, shapes, init) matches nn.Conv exactly — ckpts
+    and transplant parity tests are unaffected."""
+
+    features: int
+    pad_to: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        pad = max(self.pad_to, self.features) - self.features
+        kp = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kp.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[..., :self.features] + bias.astype(self.dtype)
+
+
 class ConvBNReluUp(nn.Module):
     """conv3×3 → BN → ReLU → 2× bilinear up(align_corners=True): the shared decoder
     stage brick (decoders.py:109-132, 170-193)."""
@@ -58,8 +91,7 @@ class FeatureDecoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         for i, f in enumerate(self.features[1:], start=1):
             x = ConvBNReluUp(f, dtype=self.dtype, name=f"decoder_{i}")(x, train)
-        return nn.Conv(self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
-                       dtype=self.dtype, param_dtype=jnp.float32, name="final_out")(x)
+        return LogitConv(self.num_classes, dtype=self.dtype, name="final_out")(x)
 
 
 class DecoderSETR(nn.Module):
@@ -73,8 +105,7 @@ class DecoderSETR(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         for i, f in enumerate(self.features, start=1):
             x = ConvBNReluUp(f, dtype=self.dtype, name=f"decoder_{i}")(x, train)
-        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                       dtype=self.dtype, param_dtype=jnp.float32, name="final_out")(x)
+        return LogitConv(self.out_channels, dtype=self.dtype, name="final_out")(x)
 
 
 class DecoderSETRF(nn.Module):
@@ -98,8 +129,7 @@ class DecoderSETRF(nn.Module):
         x = ConvBNReluUp(f[3], dtype=self.dtype, name="decoder_4")(x, train)
         x = center_pad(x, (c1.shape[1], c1.shape[2]))
         x = jnp.concatenate([x, c1], axis=-1)
-        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                       dtype=self.dtype, param_dtype=jnp.float32, name="final_out")(x)
+        return LogitConv(self.out_channels, dtype=self.dtype, name="final_out")(x)
 
 
 class MLAHead(nn.Module):
@@ -138,8 +168,7 @@ class DecoderMLA(nn.Module):
         x = ConvBNReluUp(256, upsample=False, dtype=self.dtype, name="cls")(x, train)
         x = ConvBNReluUp(128, upsample=False, dtype=self.dtype, name="cls_1")(x, train)
         x = ConvBNReluUp(64, upsample=False, dtype=self.dtype, name="cls_2")(x, train)
-        x = nn.Conv(self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, param_dtype=jnp.float32, name="cls_3")(x)
+        x = LogitConv(self.num_classes, dtype=self.dtype, name="cls_3")(x)
         return resize_bilinear(x, (self.img_size, self.img_size), align_corners=False)
 
 
