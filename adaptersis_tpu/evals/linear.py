@@ -48,6 +48,7 @@ class LinearProbeGrid:
         self.params: Dict[str, Dict[str, jax.Array]] = {}
         self.opt_state: Dict[str, object] = {}
         self._step = None
+        self._eval_step = None
 
     def _feat_dim(self, h: _Head) -> int:
         d = h.n_blocks * self.embed_dim
@@ -96,18 +97,41 @@ class LinearProbeGrid:
         self.params, self.opt_state, losses = self._step(self.params, self.opt_state, taps, labels)
         return {k: float(v) for k, v in losses.items()}
 
+    def _build_eval_step(self):
+        """ONE jitted all-heads accuracy step: heads sharing a feature layout
+        (n_blocks, avgpool) are stacked so their logits come out of one einsum,
+        then argmax → per-head correct counts. Selection semantics unchanged."""
+        groups: Dict[Tuple[int, bool], List[str]] = {}
+        for h in self.heads:
+            groups.setdefault((h.n_blocks, h.avgpool), []).append(h.name)
+
+        def step(params, taps, labels):
+            counts = {}
+            for (n, avg), names in groups.items():
+                f = linear_probe_features(taps, n, avg)
+                w = jnp.stack([params[nm]["w"] for nm in names])   # (K, d, C)
+                b = jnp.stack([params[nm]["b"] for nm in names])   # (K, C)
+                logits = jnp.einsum("bd,kdc->kbc", f, w) + b[:, None]
+                correct = (jnp.argmax(logits, -1) == labels[None]).sum(axis=1)
+                for nm, c in zip(names, correct):
+                    counts[nm] = c
+            return counts
+
+        return jax.jit(step)
+
     def evaluate(self, taps_batches, labels_batches) -> Tuple[str, Dict[str, float]]:
         """Accuracy per head; returns (best head name, all accs)
         (reference evaluate_linear_classifiers + best select, adapter.py:273-324)."""
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
         correct = {h.name: 0 for h in self.heads}
         total = 0
         for taps, labels in zip(taps_batches, labels_batches):
             labels = jnp.asarray(labels)
-            total += labels.shape[0]
-            for h in self.heads:
-                f = linear_probe_features(taps, h.n_blocks, h.avgpool)
-                logits = f @ self.params[h.name]["w"] + self.params[h.name]["b"]
-                correct[h.name] += int((jnp.argmax(logits, -1) == labels).sum())
+            total += int(labels.shape[0])
+            counts = self._eval_step(self.params, taps, labels)
+            for k, v in counts.items():
+                correct[k] += int(v)
         accs = {k: v / max(total, 1) for k, v in correct.items()}
         best = max(accs, key=accs.get)
         return best, accs

@@ -17,3 +17,8 @@ import jax  # noqa: E402  (jax is already imported by sitecustomize anyway)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (deselect with -m 'not slow')")
