@@ -220,6 +220,12 @@ def drop_path(x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.
     return jnp.where(mask, x / keep, 0.0)
 
 
+# When True, Attention's einsum path additionally sows max|q·kᵀ·scale| into
+# the "intermediates" collection — the measurement behind flash_fwd's _CLAMP
+# safety bound (tools/probe_flash_scores.py). Off in normal operation.
+PROBE_ATTN_SCORES = False
+
+
 def _sdpa_einsum(q, k, v, scale, dtype):
     attn = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(dtype), k.astype(dtype))
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dtype)
@@ -425,6 +431,11 @@ class Attention(nn.Module):
             out = _sdpa_flash(q, k, v, scale, segment_ids=segment_ids)
         else:
             out = _sdpa_einsum(q, k, v, scale, self.dtype)
+            if PROBE_ATTN_SCORES:
+                s = jnp.einsum("bqhd,bkhd->bhqk",
+                               (q * scale).astype(jnp.float32),
+                               k.astype(jnp.float32))
+                self.sow("intermediates", "max_abs_score", jnp.max(jnp.abs(s)))
         out = out.reshape(B, N, C)
         return nn.Dense(C, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 

@@ -62,11 +62,11 @@ class AdapterSegmentor(nn.Module):
     mla_last_block_bug: bool = False     # reproduce train_mla.py:339-341
     msda_impl: str = "gather"            # deformable-attention impl (see ops/)
     # run the clean walk and the adapter prefix as ONE 2B-batch walk over the
-    # shared blocks 0..depth-n (identical numerics: the adapter rows carry one
-    # segment-isolated dummy token to equalize sequence length). MEASURED
-    # NEGATIVE on v5e at the flagship shape (11.17 → 10.66 img/s: the
-    # segment-id masking in the packed flash layers costs more than the halved
-    # per-layer dispatch saves) — default off, kept for smaller batches/seqs.
+    # shared blocks 0..depth-n (identical numerics: both streams pre-pad to
+    # one 128-multiple length with per-row binary validity — works with every
+    # attention impl including flash_fwd). Round-3 measured NEGATIVE on the
+    # old segment-id flash (11.17 → 10.66 img/s); round-5 re-measured on the
+    # current kernels (pad-based packing, flash_fwd): see ROUND5_NOTES.md.
     batch_walks: bool = False
     # run each frozen walk pre-padded to a 128-multiple token count with
     # persistent validity segment-ids, instead of letting every flash-attention
@@ -140,11 +140,6 @@ class AdapterSegmentor(nn.Module):
             use_pad_walks = (self.backbone.attn_impl in ("flash", "flash_fwd")
                              and not any(self.backbone.window_attn or []))
         use_pad_walks = use_pad_walks and not self.batch_walks
-        if self.batch_walks and self.backbone.attn_impl == "flash_fwd":
-            # batch_walks packs two streams with MULTI-segment ids; the
-            # fwd-only kernel only understands binary validity masks
-            raise ValueError("batch_walks is incompatible with "
-                             "attn_impl='flash_fwd' (multi-segment packing)")
 
         def _pad128(t: jax.Array):
             """Pad tokens to the next 128 multiple; ids mark real rows (1) vs
@@ -164,24 +159,33 @@ class AdapterSegmentor(nn.Module):
                                             segment_ids=seg)[:, :t.shape[1]]
         if self.batch_walks and stop > 0:
             # both walks run blocks 0..depth-n on the same images → ONE
-            # 2B-batch walk for the shared prefix. The adapter stream has one
-            # token fewer (no cls, train.py:300); a dummy token in its own
-            # attention segment equalizes the length without touching numerics.
+            # 2B-batch walk for the shared prefix. The streams differ in
+            # length by one (the clean walk carries cls, train.py:287 vs :300),
+            # so both pre-pad to the SAME 128-multiple with per-row BINARY
+            # validity rows — the pad_walks mechanism, which every attention
+            # impl supports (einsum segmented mask / library-flash SegmentIds /
+            # flash_fwd bias row). Round-5 redesign: the earlier dummy-token
+            # packing needed MULTI-segment ids, which the fwd-only kernel
+            # cannot express.
             xa0, _ = self.backbone.embed(x, with_pos_cls=False)
-            dummy = jnp.zeros((B, 1, E), xa0.dtype)
-            packed = jnp.concatenate(
-                [tokens, jnp.concatenate([dummy, xa0], axis=1)], axis=0)
-            import numpy as _np
+            Np = -(-tokens.shape[1] // 128) * 128
 
-            ids = _np.zeros((2, tokens.shape[1]), _np.int32)
-            ids[1, 0] = 1                # isolate the dummy token
-            seg = jnp.asarray(_np.repeat(ids, B, axis=0))
+            def pad_to(t):
+                seg = jnp.broadcast_to(
+                    (jnp.arange(Np) < t.shape[1]).astype(jnp.int32)[None],
+                    (t.shape[0], Np))
+                return jnp.pad(t, ((0, 0), (0, Np - t.shape[1]), (0, 0))), seg
+
+            tokens_p, seg_c = pad_to(tokens)
+            xa0_p, seg_a = pad_to(xa0)
+            packed = jnp.concatenate([tokens_p, xa0_p], axis=0)
+            seg = jnp.concatenate([seg_c, seg_a], axis=0)
             packed = self.backbone.run_blocks(packed, 0, stop, segment_ids=seg)
-            clean = packed[:B]
-            xa = sg(packed[B:, 1:])
+            clean = packed[:B, :tokens.shape[1]]
+            xa = sg(packed[B:, :xa0.shape[1]])
             raw_taps = [clean]           # block depth-n output
             for i in range(stop, depth):
-                clean = self.backbone.run_blocks(clean, i, i + 1)
+                clean = _run_padded(clean, i, i + 1)
                 raw_taps.append(clean)
         elif use_pad_walks:
             tokens_p, seg_c = _pad128(tokens)

@@ -123,9 +123,11 @@ def test_mla_decoder_variant():
 
 
 def test_batched_walks_match_unbatched():
-    """batch_walks=True (one 2B-batch shared-prefix walk with a
-    segment-isolated dummy token) must be numerically identical to the
-    default two-walk path."""
+    """batch_walks=True (one 2B-batch shared-prefix walk; both streams padded
+    to one 128-multiple length with per-row binary validity) must be
+    numerically identical to the default two-walk path — for the einsum
+    attention AND for the flash_fwd kernel (interpret mode on CPU), whose
+    bias-row masking the round-5 packing was redesigned for."""
     import numpy as np
 
     from adaptersis_tpu.models.segmentor import AdapterSegmentor
@@ -133,15 +135,18 @@ def test_batched_walks_match_unbatched():
 
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.uniform(0, 1, (2, 112, 112, 3)), jnp.float32)
-    outs = {}
-    for batched in (False, True):
-        bb = DinoVisionTransformer(img_size=112, patch_size=14, embed_dim=32,
-                                   depth=5, num_heads=2)
-        m = AdapterSegmentor(backbone=bb, num_classes=2, n_last_blocks=4,
-                             batch_walks=batched)
-        variables = m.init(jax.random.PRNGKey(0), x)
-        outs[batched] = np.asarray(m.apply(variables, x))
-    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-5, atol=1e-5)
+    for attn in ("einsum", "flash_fwd"):
+        outs = {}
+        for batched in (False, True):
+            bb = DinoVisionTransformer(img_size=112, patch_size=14,
+                                       embed_dim=32, depth=5, num_heads=2,
+                                       attn_impl=attn)
+            m = AdapterSegmentor(backbone=bb, num_classes=2, n_last_blocks=4,
+                                 batch_walks=batched)
+            variables = m.init(jax.random.PRNGKey(0), x)
+            outs[batched] = np.asarray(m.apply(variables, x))
+        np.testing.assert_allclose(outs[True], outs[False],
+                                   rtol=1e-5, atol=1e-5, err_msg=attn)
 
 
 def test_pad_walks_match_unpadded():

@@ -32,6 +32,17 @@ IMSIZE = 588  # the reference CACNN DWConv hard-codes the 588 pyramid split
 LR, MOMENTUM, WD = 0.01, 0.99, 3e-5
 
 
+def set_flagship_geometry():
+    """Switch the lockstep to the REAL recipe architecture (VERDICT r4 #3):
+    ViT-L/14 @588 (depth 24, dim 1024, heads 16) + the reference encoder/
+    decoder defaults (encoders.py:5, decoders.py:93) — catches depth-24/
+    dim-1024/pos-grid-42² effects the E=64/depth-6 toy cannot."""
+    global E, DEPTH, HEADS, INPLANES, FEATURES
+    E, DEPTH, HEADS = 1024, 24, 16
+    INPLANES = 64
+    FEATURES = (1024, 512, 256, 128, 64)
+
+
 def synth_batch(rng, b):
     """Blob segmentation: a bright disc on noise; same arrays feed both sides."""
     imgs = rng.uniform(0.0, 0.6, (b, IMSIZE, IMSIZE, 3)).astype(np.float32)
@@ -272,7 +283,12 @@ def main():
     ap.add_argument("--tolerance", type=float, default=0.003,
                     help="0.3 pt — the BASELINE.md north-star bar")
     ap.add_argument("--out", default="/tmp/quality_parity_synthetic")
+    ap.add_argument("--flagship", action="store_true",
+                    help="run at the real ViT-L/14 geometry (slow on CPU; "
+                         "use --steps 5 --batch 1)")
     args = ap.parse_args()
+    if args.flagship:
+        set_flagship_geometry()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 

@@ -58,10 +58,14 @@ from adaptersis_tpu.train import Trainer, TrainerConfig  # noqa: E402
 IMSIZE = int(os.environ.get("ASN_IMSIZE", "588"))
 ARCH = os.environ.get("ASN_ARCH", "vit_large")
 
-# (name, dtype, batch, loss_tol, grad_tol)
+# (name, dtype, batch, loss_tol, grad_tol). bf16 runs at bs8, not the bench's
+# bs16: the all-XLA REFERENCE side materializes (B, 16, 1792, 1792) einsum
+# score tensors and OOMs the 15.75 GB HBM by ~330 MB at bs16 — the pallas side
+# itself fits (that is the point of the kernels). bs8 keeps the full geometry
+# (588 px, 1792-token walks, identical kernel grids per batch element).
 REGIMES = (
     ("fp32/bs2", jnp.float32, 2, 2e-3, 2e-2),
-    ("bf16/bs16", jnp.bfloat16, 16, 1e-2, 6e-2),
+    ("bf16/bs8", jnp.bfloat16, 8, 1e-2, 6e-2),
 )
 
 
