@@ -58,14 +58,15 @@ from adaptersis_tpu.train import Trainer, TrainerConfig  # noqa: E402
 IMSIZE = int(os.environ.get("ASN_IMSIZE", "588"))
 ARCH = os.environ.get("ASN_ARCH", "vit_large")
 
-# (name, dtype, batch, loss_tol, grad_tol). bf16 runs at bs8, not the bench's
-# bs16: the all-XLA REFERENCE side materializes (B, 16, 1792, 1792) einsum
-# score tensors and OOMs the 15.75 GB HBM by ~330 MB at bs16 — the pallas side
-# itself fits (that is the point of the kernels). bs8 keeps the full geometry
-# (588 px, 1792-token walks, identical kernel grids per batch element).
+# (name, dtype, batch, loss_tol, l2_tol, max_tol). bf16 runs at bs8, not the
+# bench's bs16: the all-XLA REFERENCE side materializes (B, 16, 1792, 1792)
+# einsum score tensors and OOMs the 15.75 GB HBM by ~330 MB at bs16 — the
+# pallas side itself fits (that is the point of the kernels). bs8 keeps the
+# full geometry (588 px, 1792-token walks, identical kernel grids per batch
+# element). Bound rationale: see subtree_err.
 REGIMES = (
-    ("fp32/bs2", jnp.float32, 2, 2e-3, 2e-2),
-    ("bf16/bs8", jnp.bfloat16, 8, 1e-2, 6e-2),
+    ("fp32/bs2", jnp.float32, 2, 2e-3, 2e-2, 1.5e-1),
+    ("bf16/bs8", jnp.bfloat16, 8, 1e-2, 6e-2, 1.5e-1),
 )
 
 
@@ -104,21 +105,45 @@ def loss_and_grads_fn(model, loss_fn):
     return jax.jit(fn)
 
 
+def perturb(tree, key, sigma=0.02):
+    """Deterministic param noise shared by both sides. Why: at RANDOM INIT the
+    CAViT LayerScale is zero (init_values=0.0, the reference injector init),
+    which zeroes every gradient flowing through the CNN stream — the first
+    gate run measured grad[cross_cnn] ≡ 0 on both sides, i.e. certified
+    nothing about that path. Perturbing all params lights up every branch."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for k, leaf in zip(keys, leaves):
+        if leaf.dtype in (jnp.float32, jnp.bfloat16) and leaf.size:
+            out.append(leaf + sigma * jax.random.normal(
+                k, leaf.shape, jnp.float32).astype(leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def subtree_err(ga, gb):
-    """max elementwise |a-b| over the subtree, relative to the subtree's
-    max |b| (the XLA side) — the VERIFY_MSDA_ONCHIP rel_err, per subtree."""
+    """(normalized L2 distance, max elementwise rel err) over the subtree.
+
+    The DISCRIMINATING statistic is ||a−b||/||b||: precision drift (MXU
+    bf16-multiplicand f32 dots, different contraction orders on the two
+    sides) stays small, while any real miscompile (wrong lane/corner/group
+    scramble) is O(1) even when it PRESERVES norms. max|a−b|/max|b| is
+    reported against a loose bound: over a 24-block + 8-MSDA + BatchNorm
+    chain its tail is precision-bound (first run measured 4.3e-2 fp32 on the
+    encoder subtree while its l2-dist/norm error sat at 1e-5)."""
     la = jax.tree_util.tree_leaves(ga)
     lb = jax.tree_util.tree_leaves(gb)
     av = np.concatenate([np.asarray(x, np.float64).ravel() for x in la])
     bv = np.concatenate([np.asarray(x, np.float64).ravel() for x in lb])
     scale = max(np.abs(bv).max(), 1e-30)
     max_rel = float(np.abs(av - bv).max() / scale)
-    norm_rel = float(abs(np.linalg.norm(av) - np.linalg.norm(bv))
-                     / max(np.linalg.norm(bv), 1e-30))
-    return max_rel, norm_rel
+    l2_dist = float(np.linalg.norm(av - bv) / max(np.linalg.norm(bv), 1e-30))
+    return l2_dist, max_rel
 
 
-def run_regime(name, dtype, batch, loss_tol, grad_tol, rows):
+def run_regime(name, dtype, batch, loss_tol, l2_tol, max_tol, rows):
     print(f"== {name} ==", flush=True)
     model_p = build_model(dtype, pallas=True)
     model_x = build_model(dtype, pallas=False)
@@ -132,6 +157,7 @@ def run_regime(name, dtype, batch, loss_tol, grad_tol, rows):
     masks = jnp.asarray((rng.uniform(size=(batch, IMSIZE, IMSIZE)) > 0.8)
                         .astype(np.int32))
     state = trainer.init_state((imgs, masks))
+    state["params"] = perturb(state["params"], jax.random.PRNGKey(11))
     key = jax.random.PRNGKey(7)
 
     loss_fn = LOSSES["dc"]
@@ -159,13 +185,23 @@ def run_regime(name, dtype, batch, loss_tol, grad_tol, rows):
     ok &= o
     rows.append((name, "loss", e, loss_tol, o))
     for sub in sorted(grads_p):
-        max_rel, norm_rel = subtree_err(grads_p[sub], grads_x[sub])
-        o = max_rel <= grad_tol
+        # a silently-dead gradient path would compare 0 ≡ 0 forever — fail
+        # loudly instead (the perturbation exists to prevent exactly this)
+        bnorm = float(np.linalg.norm(np.concatenate(
+            [np.asarray(x, np.float64).ravel()
+             for x in jax.tree_util.tree_leaves(grads_x[sub])])))
+        if bnorm == 0.0:
+            rows.append((name, f"grad[{sub}] DEAD PATH", float("inf"),
+                         l2_tol, False))
+            ok = False
+            continue
+        l2_dist, max_rel = subtree_err(grads_p[sub], grads_x[sub])
+        o = l2_dist <= l2_tol
         ok &= o
-        rows.append((name, f"grad[{sub}] max", max_rel, grad_tol, o))
-        o = norm_rel <= grad_tol
+        rows.append((name, f"grad[{sub}] l2dist", l2_dist, l2_tol, o))
+        o = max_rel <= max_tol
         ok &= o
-        rows.append((name, f"grad[{sub}] ||·||", norm_rel, grad_tol, o))
+        rows.append((name, f"grad[{sub}] max", max_rel, max_tol, o))
     return ok
 
 
@@ -184,9 +220,12 @@ def main():
         f"\nFull train-step composition gate, on-chip ({dev}), "
         f"{ARCH}@{IMSIZE}: pallas bench defaults (flash_fwd + fused QKV/MLP + "
         "merged-bwd pallas MSDA) vs all-XLA step (einsum attention + gather "
-        "MSDA), same weights, same augmented batch; loss + full gradient "
-        "tree per trainable subtree (max elementwise rel err and L2-norm rel "
-        "diff, scaled by the XLA side's subtree max).")
+        "MSDA), same (perturbed — every LayerScale path live) weights, same "
+        "augmented batch; loss + full gradient tree per trainable subtree: "
+        "normalized L2 distance (the miscompile discriminator — scrambles "
+        "are O(1) even when norm-preserving) and max elementwise rel err "
+        "(loose bound; precision-tailed over this chain depth). A zero "
+        "XLA-side subtree gradient fails as DEAD PATH.")
     lines.append(
         "fp32 bounds reflect the v5e MXU's default f32-dot precision "
         "(bf16 multiplicands, per-op floor ~3-6e-3) compounded across the "
