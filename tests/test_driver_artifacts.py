@@ -81,7 +81,7 @@ def test_dryrun_flagship_8_stays_ship_shape():
         _, sep2, tail = rest.partition("```")
         if sep and sep2:
             stamp = datetime.date.today().isoformat()
-            block = json.dumps(sizes, indent=1).replace("{\n", "{")
+            block = json.dumps(sizes, indent=1)
             head = head.rstrip("\n").rsplit("Output, re-run", 1)[0]
             head += (f"Output, re-run {stamp} by "
                      "tests/test_driver_artifacts.py::"

@@ -110,17 +110,25 @@ def perturb(tree, key, sigma=0.02):
     CAViT LayerScale is zero (init_values=0.0, the reference injector init),
     which zeroes every gradient flowing through the CNN stream — the first
     gate run measured grad[cross_cnn] ≡ 0 on both sides, i.e. certified
-    nothing about that path. Perturbing all params lights up every branch."""
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    keys = jax.random.split(key, len(leaves))
-    out = []
-    for k, leaf in zip(keys, leaves):
-        if leaf.dtype in (jnp.float32, jnp.bfloat16) and leaf.size:
-            out.append(leaf + sigma * jax.random.normal(
-                k, leaf.shape, jnp.float32).astype(leaf.dtype))
-        else:
-            out.append(leaf)
-    return jax.tree_util.tree_unflatten(treedef, out)
+    nothing about that path. Perturbing all params lights up every branch.
+    ONE jitted program for the whole tree: per-leaf dispatch over this
+    image's TPU tunnel costs ~seconds/leaf (hundreds of tiny remote
+    compiles) — the first v3 gate run sat >25 min in exactly that."""
+
+    @jax.jit
+    def go(tree, key):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        keys = jax.random.split(key, len(leaves))
+        out = []
+        for k, leaf in zip(keys, leaves):
+            if leaf.dtype in (jnp.float32, jnp.bfloat16) and leaf.size:
+                out.append(leaf + sigma * jax.random.normal(
+                    k, leaf.shape, jnp.float32).astype(leaf.dtype))
+            else:
+                out.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return go(tree, key)
 
 
 def subtree_err(ga, gb):
