@@ -16,6 +16,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import adaptersis_tpu.ops.msda_pallas as mp  # noqa: E402
 from adaptersis_tpu.models.adapters import get_reference_points  # noqa: E402
 
+# same A/B knobs as bench.py: ASN_GATHER_BWD=0 forces the u-form kernel,
+# ASN_MSDA_UFORM=0 (with gather also off) the plain merged kernel
+import os  # noqa: E402
+
+mp.use_merged_bwd(os.environ.get("ASN_MERGED_MSDA", "1") != "0")
+mp.use_uform_bwd(os.environ.get("ASN_MSDA_UFORM", "1") != "0")
+mp.use_gather_bwd(os.environ.get("ASN_GATHER_BWD", "1") != "0")
+
 B, M, D, P = 16, 8, 128, 4
 REPS = 10
 
