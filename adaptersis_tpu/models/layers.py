@@ -248,11 +248,38 @@ def _flash_blocks(np_len: int) -> Tuple[int, int]:
     return bq, bk
 
 
+def _flash_block_sizes(np_len: int):
+    """Full BlockSizes (forward + backward) for the library flash kernel.
+
+    The forward blocks are the tuned `_flash_blocks` pair; the BACKWARD blocks
+    must also be set — `BlockSizes.has_backward_blocks` is False when any is
+    None, and differentiating the kernel then fails with "not all backward
+    blocks are specified" (hit by the SSL student path, the one place flash
+    attention is trained THROUGH rather than run under stop_gradient). Backward
+    tiles are capped at 512: the fwd single-kv-block trick (bk = full length)
+    exists to skip the online-softmax rescale, which the backward has no
+    analogue of, and the dq/dkv kernels keep ~3 whole-block operands live per
+    tile step (the q, do, l/m rows plus the kv tile) so big tiles overflow
+    scoped VMEM long before the forward's do."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    bq, bk = _flash_blocks(np_len)
+    bb = 128
+    for cand in (512, 384, 256, 128):
+        if np_len % cand == 0:
+            bb = cand
+            break
+    return BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                      block_q_major_dkv=bb, block_k_major_dkv=bb,
+                      block_k_dkv=bb, block_q_dkv=bb,
+                      block_k_major_dq=bb, block_k_dq=bb, block_q_dq=bb)
+
+
 def _flash_bhnd(q, k, v, scale, N, segment_ids=None):
     """Flash attention on (B, H, Np, Dh) tensors (already in kernel layout —
     the fused LN+QKV path); N = real token count for the padding mask."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, SegmentIds, flash_attention)
+        SegmentIds, flash_attention)
 
     B, H, Np0, Dh = q.shape
     Np = -(-Np0 // 128) * 128
@@ -266,11 +293,9 @@ def _flash_bhnd(q, k, v, scale, N, segment_ids=None):
         ids = jnp.pad(segment_ids.astype(jnp.int32),
                       ((0, 0), (0, Np - segment_ids.shape[1])),
                       constant_values=-1)
-    bq, bk = _flash_blocks(Np)
     return flash_attention(
         q, k, v, segment_ids=SegmentIds(q=ids, kv=ids), sm_scale=scale,
-        block_sizes=BlockSizes(block_q=bq, block_k_major=bk, block_k=bk,
-                               block_b=1))
+        block_sizes=_flash_block_sizes(Np))
 
 
 def _flash_fwd_bhnd(q, k, v, scale, N, segment_ids=None):
@@ -303,7 +328,7 @@ def _sdpa_flash(q, k, v, scale, segment_ids=None):
     (reference dinov2/layers/block.py:161-260). Padded positions get id −1,
     matching nothing real."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, SegmentIds, flash_attention)
+        SegmentIds, flash_attention)
 
     B, N, H, Dh = q.shape
     Np = -(-N // 128) * 128
@@ -319,13 +344,11 @@ def _sdpa_flash(q, k, v, scale, segment_ids=None):
     else:
         ids = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pad)),
                       constant_values=-1)
-    bq, bk = _flash_blocks(Np)
     out = flash_attention(
         to_bhnd(q), to_bhnd(k), to_bhnd(v),
         segment_ids=SegmentIds(q=ids, kv=ids),
         sm_scale=scale,
-        block_sizes=BlockSizes(block_q=bq, block_k_major=bk, block_k=bk,
-                               block_b=1),
+        block_sizes=_flash_block_sizes(Np),
     )
     return out.transpose(0, 2, 1, 3)[:, :N]
 

@@ -105,3 +105,17 @@ def test_layers_dispatch_matches_flash():
         params = attn.init(jax.random.PRNGKey(0), x)
         outs[impl] = np.asarray(attn.apply(params, x))
     assert np.abs(outs["einsum"] - outs["flash_fwd"]).max() < 1e-5
+
+
+def test_library_flash_block_sizes_have_backward_blocks():
+    """Differentiating the library flash kernel requires every backward tile
+    to be set (BlockSizes.has_backward_blocks) — the SSL student path trains
+    THROUGH attention and failed with partial BlockSizes (round 5)."""
+    from adaptersis_tpu.models.layers import _flash_block_sizes
+
+    for np_len in (128, 256, 512, 640, 896, 1024, 1792, 2048):
+        bs = _flash_block_sizes(np_len)
+        assert bs.has_backward_blocks
+        for b in (bs.block_q, bs.block_k, bs.block_q_dq, bs.block_k_dq,
+                  bs.block_q_dkv, bs.block_k_dkv):
+            assert np_len % b == 0
