@@ -69,15 +69,46 @@ def ibot_patch_loss(student_patch_tokens: jax.Array,   # (B, N, K) masked-positi
                     teacher_softmaxed: jax.Array,      # (B, N, K) targets
                     mask: jax.Array,                   # (B, N) bool — masked positions
                     student_temp: float = 0.1) -> jax.Array:
-    """forward_masked with per-sample weighting 1/n_masked_per_sample
-    (ibot_patch_loss.py:95-151)."""
+    """Full-tensor iBOT CE with per-sample weighting 1/n_masked_per_sample and
+    the reference's denominator: the CROP COUNT mask.shape[0], unmasked crops
+    contributing zero (ibot_patch_loss.py:91-102 `forward` / :105-126
+    `forward_masked`, whose Σ w·CE / masks.shape[0] this equals exactly —
+    rounds 1-4 divided by the number of masked crops instead, overweighting
+    iBOT ~2× at the default mask_sample_probability=0.5; fixed round 5)."""
     lsm = jax.nn.log_softmax(student_patch_tokens.astype(jnp.float32) / student_temp, axis=-1)
     per_token = -jnp.sum(teacher_softmaxed * lsm, axis=-1)            # (B, N)
     m = mask.astype(jnp.float32)
     per_sample_w = 1.0 / jnp.clip(m.sum(axis=1, keepdims=True), 1.0)  # (B, 1)
     loss = (per_token * m * per_sample_w).sum()
-    n_samples = jnp.clip((m.sum(axis=1) > 0).sum(), 1)
-    return loss / n_samples
+    return loss / mask.shape[0]
+
+
+def ibot_patch_loss_masked(student_masked: jax.Array,  # (U, K) gathered logits
+                           teacher_softmaxed: jax.Array,  # (U, K) gathered targets
+                           weights: jax.Array,         # (U,) masks_weight; 0 = pad
+                           n_crops: int,
+                           student_temp: float = 0.1) -> jax.Array:
+    """forward_masked on GATHERED masked tokens (ibot_patch_loss.py:105-126):
+    −Σ_i w_i·⟨t_i, log_softmax(s_i/τ)⟩ / n_crops, w_i = 1/n_masked(sample_i)
+    (`masks_weight`, collate.py:39). Zero-weight padding rows drop out. The
+    reference's ×loss_scales(2)×ibot_loss_scale(1/n_global=1/2) net to ×1
+    (ssl_meta_arch.py:154,289-335)."""
+    lsm = jax.nn.log_softmax(student_masked.astype(jnp.float32) / student_temp, axis=-1)
+    per_token = -jnp.sum(teacher_softmaxed * lsm, axis=-1)            # (U,)
+    return (per_token * weights).sum() / n_crops
+
+
+def update_center_masked(center: jax.Array, teacher_masked: jax.Array,
+                         weights: jax.Array, n_masked: jax.Array,
+                         momentum: float = 0.9) -> jax.Array:
+    """iBOT center EMA over the MASKED teacher head outputs only
+    (ibot_patch_loss.py:129-151: batch center = mean over the n_masked gathered
+    rows; the cross-rank all_reduce is the global mean under GSPMD). Padding
+    rows are zero-weighted out via `weights`."""
+    valid = (weights > 0).astype(jnp.float32)[:, None]
+    bc = (teacher_masked.astype(jnp.float32) * valid).sum(axis=0, keepdims=True)
+    bc = bc / jnp.maximum(n_masked.astype(jnp.float32), 1.0)
+    return center * momentum + bc * (1 - momentum)
 
 
 def koleo_loss(student_output: jax.Array, eps: float = 1e-8) -> jax.Array:

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -82,3 +82,58 @@ def collate_masks(batch_size: int, n_tokens: int, mask_generator: MaskingGenerat
     masks = np.stack(masks)
     order = rng.permutation(batch_size)
     return masks[order]
+
+
+class MaskInfo(NamedTuple):
+    """Static-shape masked-token plumbing for the iBOT path — the TPU form of
+    the reference collate's {collated_masks, mask_indices_list, masks_weight,
+    upperbound, n_masked_patches} (collate.py:24-48).
+
+    The reference gathers masked patch tokens into an `upperbound`-row buffer
+    before the iBOT head (ssl_meta_arch.py:169-181, 252-260) so the 65536-wide
+    head runs on ~15% of tokens instead of all of them; `indices`/`weights`
+    here are that buffer's plumbing with a STATIC row count (upperbound depends
+    only on the collate configuration, so every step compiles to the same
+    program). Padding rows carry index 0 and weight 0 — they ride through the
+    head and are zero-weighted out of the loss and the center update."""
+
+    masks: np.ndarray      # (B, n_tokens) bool — backbone mask-token substitution
+    indices: np.ndarray    # (upperbound,) int32 flat indices into (B·n_tokens)
+    weights: np.ndarray    # (upperbound,) f32: 1/n_masked(sample) per token; 0 = pad
+    n_masked: np.ndarray   # () int32 — real rows in indices/weights
+
+
+def mask_upperbound(batch_size: int, n_tokens: int,
+                    mask_ratio_range: Tuple[float, float] = (0.1, 0.5),
+                    mask_probability: float = 0.5) -> int:
+    """The reference collate's `upperbound` (collate.py:24-30): a static bound
+    on the total masked-token count, Σ_i int(n_tokens · prob_max_i)."""
+    n_samples_masked = int(batch_size * mask_probability)
+    probs = np.linspace(*mask_ratio_range, n_samples_masked + 1)
+    return int(sum(int(n_tokens * probs[i + 1]) for i in range(n_samples_masked)))
+
+
+def collate_masks_with_indices(batch_size: int, n_tokens: int,
+                               mask_generator: MaskingGenerator,
+                               mask_ratio_range: Tuple[float, float] = (0.1, 0.5),
+                               mask_probability: float = 0.5,
+                               seed: Optional[int] = None) -> MaskInfo:
+    """collate_masks plus the gathered-token plumbing (collate.py:37-48):
+    flat nonzero indices (sample-major, like torch .nonzero on the flat mask)
+    and per-token weights 1/n_masked(sample) (= the reference `masks_weight`),
+    both padded to the static `mask_upperbound`."""
+    masks = collate_masks(batch_size, n_tokens, mask_generator,
+                          mask_ratio_range, mask_probability, seed)
+    ub = mask_upperbound(batch_size, n_tokens, mask_ratio_range, mask_probability)
+    flat = masks.reshape(-1)
+    idx = np.nonzero(flat)[0].astype(np.int32)
+    n_masked = idx.shape[0]
+    assert n_masked <= ub, (n_masked, ub)
+    per_sample = masks.sum(axis=1).clip(min=1).astype(np.float32)  # (B,)
+    w = (1.0 / per_sample)[idx // n_tokens]
+    indices = np.zeros(ub, np.int32)
+    weights = np.zeros(ub, np.float32)
+    indices[:n_masked] = idx
+    weights[:n_masked] = w
+    return MaskInfo(masks=masks, indices=indices, weights=weights,
+                    n_masked=np.int32(n_masked))

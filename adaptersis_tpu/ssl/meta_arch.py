@@ -34,8 +34,10 @@ import optax
 from ..models.vit import DinoVisionTransformer
 from ..parallel.mesh import fsdp_shard_params, get_mesh, replicate_tree
 from .heads import DINOHead
-from .losses import (dino_loss, ibot_patch_loss, koleo_loss,
-                     softmax_center_teacher, update_center)
+from .losses import (dino_loss, ibot_patch_loss, ibot_patch_loss_masked,
+                     koleo_loss, softmax_center_teacher, update_center,
+                     update_center_masked)
+from .masking import MaskInfo
 
 
 @dataclass
@@ -78,7 +80,7 @@ class SSLMetaArch:
             DINOHead(cfg.ibot_out_dim, cfg.head_hidden_dim, cfg.head_bottleneck_dim)
             if cfg.ibot_separate_head else None
         )
-        self._step_fn = None
+        self._step_fns = {}
 
     # ---- parameter plumbing ----
 
@@ -181,24 +183,41 @@ class SSLMetaArch:
 
     # ---- the fused train step ----
 
-    def build_train_step(self):
+    def build_train_step(self, gathered: bool = False):
         cfg = self.cfg
 
         def step(state, global_crops, local_crops, masks, lr, wd, momentum,
                  teacher_temp, last_layer_lr):
             """global_crops: (2B, S, S, 3); local_crops: (nB, s, s, 3);
-            masks: (2B, N_tokens) bool."""
+            masks: (2B, N_tokens) bool, or a MaskInfo carrying the gathered
+            masked-token plumbing (the reference collate's mask_indices_list /
+            masks_weight, collate.py:37-48)."""
             B2 = global_crops.shape[0]
             sg = jax.lax.stop_gradient
+            masks_bool = masks.masks if gathered else masks
+
+            def gather_masked(patch_tokens):
+                # the reference's upperbound-buffer index_select
+                # (ssl_meta_arch.py:169-181, 252-260): the 65536-wide iBOT head
+                # runs on the ~15% masked rows, not all 2B·N tokens — on TPU
+                # this also keeps the (U, K) f32 logits/softmax tensors ~6×
+                # smaller with a STATIC row count
+                flat = patch_tokens.reshape(-1, patch_tokens.shape[-1])
+                return jnp.take(flat, masks.indices, axis=0)
 
             # ---- teacher targets (no grad) ----
             t_out = self._backbone_fwd(state["teacher"]["backbone"], global_crops)
             t_cls = t_out["x_norm_clstoken"]                       # (2B, E)
             t_patch = t_out["x_norm_patchtokens"]                  # (2B, N, E)
             t_dino = self._dino_head_fwd(state["teacher"]["dino_head"], t_cls)
-            t_ibot = self._ibot_head_fwd(state["teacher"], t_patch)
             t_dino_sm = sg(softmax_center_teacher(t_dino, state["dino_center"], teacher_temp))
-            t_ibot_sm = sg(softmax_center_teacher(t_ibot, state["ibot_center"], teacher_temp))
+            if gathered:
+                t_ibot = self._ibot_head_fwd(state["teacher"], gather_masked(t_patch))
+                t_ibot_sm = sg(softmax_center_teacher(
+                    t_ibot, state["ibot_center"][0], teacher_temp))
+            else:
+                t_ibot = self._ibot_head_fwd(state["teacher"], t_patch)
+                t_ibot_sm = sg(softmax_center_teacher(t_ibot, state["ibot_center"], teacher_temp))
 
             def loss_fn(student):
                 if (cfg.packed_crops and local_crops.shape[0]
@@ -206,11 +225,11 @@ class SSLMetaArch:
                     # globals+locals in one packed attention program
                     s_out, l_out = self.backbone.apply(
                         {"params": student["backbone"]}, global_crops,
-                        local_crops, masks=masks,
+                        local_crops, masks=masks_bool,
                         method=self.backbone.forward_packed_crops)
                 else:
                     # student globals WITH mask-token substitution (iBOT)
-                    s_out = self._backbone_fwd(student["backbone"], global_crops, masks=masks)
+                    s_out = self._backbone_fwd(student["backbone"], global_crops, masks=masks_bool)
                     l_out = self._backbone_fwd(student["backbone"], local_crops)
                 s_cls = s_out["x_norm_clstoken"]
                 s_patch = s_out["x_norm_patchtokens"]
@@ -230,8 +249,13 @@ class SSLMetaArch:
                     loss_dino = loss_dino + dino_loss(locals_list, [t1, t2], cfg.student_temp) / (
                         2 * n_local)
 
-                s_ibot = self._ibot_head_fwd(student, s_patch)
-                loss_ibot = ibot_patch_loss(s_ibot, t_ibot_sm, masks, cfg.student_temp)
+                if gathered:
+                    s_ibot = self._ibot_head_fwd(student, gather_masked(s_patch))
+                    loss_ibot = ibot_patch_loss_masked(
+                        s_ibot, t_ibot_sm, masks.weights, B2, cfg.student_temp)
+                else:
+                    s_ibot = self._ibot_head_fwd(student, s_patch)
+                    loss_ibot = ibot_patch_loss(s_ibot, t_ibot_sm, masks_bool, cfg.student_temp)
 
                 loss_koleo = sum(
                     koleo_loss(c) for c in jnp.split(s_cls, 2, axis=0)
@@ -261,15 +285,28 @@ class SSLMetaArch:
                 lambda t, s: t * momentum + s * (1 - momentum),
                 state["teacher"], new_student,
             )
+            # iBOT center EMA over MASKED teacher head outputs only
+            # (ibot_patch_loss.py:129-151; rounds 1-4 averaged over ALL patch
+            # tokens — ~85% of them unmasked — pulling the center toward the
+            # unmasked-token distribution the loss never sees; fixed round 5)
+            if gathered:
+                ibot_center = update_center_masked(
+                    state["ibot_center"][0], t_ibot, masks.weights,
+                    masks.n_masked, cfg.center_momentum)[None]
+            else:
+                m = masks_bool.astype(jnp.float32)[..., None]
+                bc = (t_ibot.astype(jnp.float32) * m).sum(axis=(0, 1),
+                                                          keepdims=False)
+                bc = bc[None] / jnp.maximum(m.sum(), 1.0)
+                ibot_center = (state["ibot_center"][0] * cfg.center_momentum
+                               + bc * (1 - cfg.center_momentum))[None]
             new_state = {
                 **state,
                 "student": new_student,
                 "teacher": new_teacher,
                 "opt_state": new_opt,
                 "dino_center": update_center(state["dino_center"], t_dino, cfg.center_momentum),
-                "ibot_center": update_center(
-                    state["ibot_center"][0], t_ibot.reshape(-1, t_ibot.shape[-1]),
-                    cfg.center_momentum)[None],
+                "ibot_center": ibot_center,
                 "step": state["step"] + 1,
             }
             return new_state, {"total_loss": total, **parts}
@@ -278,16 +315,24 @@ class SSLMetaArch:
 
         data_sh = NamedSharding(self.mesh, P("data"))
         rep = NamedSharding(self.mesh, P())
+        # MaskInfo: the bool masks ride the data axis with the crops; the
+        # gathered-token indices/weights index the GLOBAL flat token space, so
+        # they stay replicated (worst case XLA all-gathers the (2B·N, E)
+        # pre-head patch tokens — ~12 MB bf16 at the reference config, noise
+        # next to the head compute it saves)
+        masks_sh = (MaskInfo(masks=data_sh, indices=rep, weights=rep,
+                             n_masked=rep) if gathered else data_sh)
         return jax.jit(
             step,
-            in_shardings=(None, data_sh, data_sh, data_sh) + (rep,) * 5,
+            in_shardings=(None, data_sh, data_sh, masks_sh) + (rep,) * 5,
             donate_argnums=(0,),
         )
 
     def train_step(self, state, global_crops, local_crops, masks, schedules, it: int):
-        if self._step_fn is None:
-            self._step_fn = self.build_train_step()
-        return self._step_fn(
+        gathered = isinstance(masks, MaskInfo)
+        if self._step_fns.get(gathered) is None:
+            self._step_fns[gathered] = self.build_train_step(gathered)
+        return self._step_fns[gathered](
             state, global_crops, local_crops, masks,
             jnp.float32(schedules["lr"][it]), jnp.float32(schedules["wd"][it]),
             jnp.float32(schedules["momentum"][it]),

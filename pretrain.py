@@ -74,7 +74,8 @@ def main(args):
 
     from adaptersis_tpu.data import DataLoader, ShardedInfiniteSampler, SyntheticSeg
     from adaptersis_tpu.models.vit import build_backbone
-    from adaptersis_tpu.ssl import MaskingGenerator, SSLConfig, SSLMetaArch, collate_masks
+    from adaptersis_tpu.ssl import (MaskingGenerator, SSLConfig, SSLMetaArch,
+                               collate_masks_with_indices)
     from adaptersis_tpu.ssl.augment import multicrop_augment
     from adaptersis_tpu.train import (PeriodicCheckpointer, restore_checkpoint,
                                       save_checkpoint)
@@ -170,9 +171,12 @@ def main(args):
                                  global_size=args.global_crops_size,
                                  local_size=args.local_crops_size,
                                  n_local=args.local_crops_number)
-        masks = collate_masks(g.shape[0], n_tokens, mask_gen,
-                              seed=args.seed * 100000 + it)
-        state, metrics = arch.train_step(state, g, l, jnp.asarray(masks),
+        # gathered-token mask plumbing: the 65536-wide iBOT heads run on the
+        # masked rows only (reference ssl_meta_arch.py:169-181, 252-260)
+        masks = collate_masks_with_indices(g.shape[0], n_tokens, mask_gen,
+                                           seed=args.seed * 100000 + it)
+        masks = jax.tree_util.tree_map(jnp.asarray, masks)
+        state, metrics = arch.train_step(state, g, l, masks,
                                          schedules, min(it, total - 1))
         loss = float(metrics["total_loss"])
         if math.isnan(loss):

@@ -40,7 +40,7 @@ def main():
     from adaptersis_tpu.models import build_backbone
     from adaptersis_tpu.parallel.mesh import get_mesh
     from adaptersis_tpu.ssl import (MaskingGenerator, SSLConfig, SSLMetaArch,
-                                    collate_masks)
+                                    collate_masks_with_indices)
     from adaptersis_tpu.ssl.augment import multicrop_augment
     from adaptersis_tpu.train.schedules import cosine_scheduler
 
@@ -71,8 +71,9 @@ def main():
     g, l = multicrop_augment(imgs, jax.random.PRNGKey(1),
                              global_size=GLOBAL, local_size=LOCAL,
                              n_local=N_LOCAL)
-    masks = collate_masks(g.shape[0], n_tokens, mask_gen, seed=7)
-    g, l, masks = jax.device_put((g, l, jnp.asarray(masks)))
+    masks = collate_masks_with_indices(g.shape[0], n_tokens, mask_gen, seed=7)
+    masks = jax.tree_util.tree_map(jnp.asarray, masks)
+    g, l, masks = jax.device_put((g, l, masks))
 
     for _ in range(2):  # compile + allocator warmup
         state, metrics = arch.train_step(state, g, l, masks, schedules, 0)

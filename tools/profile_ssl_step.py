@@ -29,7 +29,7 @@ def main():
     from adaptersis_tpu.models import build_backbone
     from adaptersis_tpu.parallel.mesh import get_mesh
     from adaptersis_tpu.ssl import (MaskingGenerator, SSLConfig, SSLMetaArch,
-                                    collate_masks)
+                                    collate_masks_with_indices)
     from adaptersis_tpu.ssl.augment import multicrop_augment
     from adaptersis_tpu.train.schedules import cosine_scheduler
 
@@ -55,8 +55,9 @@ def main():
     g, l = multicrop_augment(imgs, jax.random.PRNGKey(1),
                              global_size=GLOBAL, local_size=LOCAL,
                              n_local=N_LOCAL)
-    masks = collate_masks(g.shape[0], n_tokens, mask_gen, seed=7)
-    g, l, masks = jax.device_put((g, l, jnp.asarray(masks)))
+    masks = collate_masks_with_indices(g.shape[0], n_tokens, mask_gen, seed=7)
+    masks = jax.tree_util.tree_map(jnp.asarray, masks)
+    g, l, masks = jax.device_put((g, l, masks))
 
     for i in range(2):
         state, metrics = arch.train_step(state, g, l, masks, schedules, i)
