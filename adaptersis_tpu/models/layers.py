@@ -19,6 +19,7 @@ Design deltas (TPU-first, on purpose):
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -269,10 +270,17 @@ def _flash_block_sizes(np_len: int):
         if np_len % cand == 0:
             bb = cand
             break
+    # the library broadcasts di (Σ o·do) to block_k_major_dq LANES before the
+    # dq kernel (flash_attention.py:1316) — at 512 that materializes a full
+    # (B, H, N, 512) f32 score-shaped tensor per layer (profiled ~0.8 ms + HBM
+    # each on the SSL step). ASN_FLASH_DQK A/Bs a narrower dq k-major tile.
+    bkdq = int(os.environ.get("ASN_FLASH_DQK", "0")) or bb
+    bkdq = bkdq if np_len % bkdq == 0 else bb
     return BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
                       block_q_major_dkv=bb, block_k_major_dkv=bb,
                       block_k_dkv=bb, block_q_dkv=bb,
-                      block_k_major_dq=bb, block_k_dq=bb, block_q_dq=bb)
+                      block_k_major_dq=bkdq, block_k_dq=min(bkdq, bb),
+                      block_q_dq=bb)
 
 
 def _flash_bhnd(q, k, v, scale, N, segment_ids=None):
