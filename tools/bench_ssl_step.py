@@ -35,6 +35,35 @@ BATCH = int(os.environ.get("ASN_SSL_BATCH", "32"))
 GLOBAL, LOCAL, N_LOCAL = 224, 98, 8
 STEPS, REPEATS = 10, 3
 
+_ARCH_DIMS = {"vit_small": (384, 12), "vit_base": (768, 12),
+              "vit_large": (1024, 24)}
+
+
+def ssl_step_flops(batch: int, arch: str, upperbound: int) -> float:
+    """Analytic matmul/conv FLOPs of one SSL train step (2·MACs), conservative
+    like bench.py's segmentor MFU: student fwd+bwd (×3 fwd cost), teacher fwd,
+    DINO/iBOT heads on cls + GATHERED masked tokens, patch-embed convs;
+    attention scores/outputs counted at own-segment length (pad rows and the
+    segment-masked cross terms the flash kernel still computes are excluded)."""
+    E, depth = _ARCH_DIMS[arch]
+    tg = (GLOBAL // 14) ** 2 + 1                   # 257 tokens per global crop
+    tl = (LOCAL // 14) ** 2 + 1                    # 50 per local crop
+    crops = [(2 * batch, tg), (N_LOCAL * batch, tl)]
+    mac_bb = 0.0
+    for n, t in crops:
+        per_tok = depth * (12 * E * E + 2 * t * E) + 3 * 14 * 14 * E
+        mac_bb += n * t * per_tok
+    # head MACs/token: 3-layer MLP + weight-normed last layer
+    mac_head_tok = E * 2048 + 2048 * 2048 + 2048 * 256 + 256 * 65536
+    s_head_tokens = (2 + N_LOCAL) * batch + upperbound
+    t_head_tokens = 2 * batch + upperbound
+    mac = (3 * mac_bb                              # student fwd + bwd(2×)
+           + 3 * s_head_tokens * mac_head_tok
+           + (2 * batch) * tg * (depth * (12 * E * E + 2 * tg * E)
+                                 + 3 * 14 * 14 * E)  # teacher fwd, globals
+           + t_head_tokens * mac_head_tok)
+    return 2.0 * mac
+
 
 def main():
     from adaptersis_tpu.models import build_backbone
@@ -88,11 +117,14 @@ def main():
         dt = time.perf_counter() - t0
         rates.append(BATCH * STEPS / dt)
     img_s = sorted(rates)[len(rates) // 2]
+    mfu = (ssl_step_flops(BATCH, ARCH, int(masks.indices.shape[0]))
+           * (img_s / BATCH) / 197e12)
     print(json.dumps({
         "metric": f"{ARCH}_dino_ibot_multicrop_train_images_per_sec_per_chip",
         "value": round(img_s, 2), "unit": "img/s/chip",
         "ms_step": round(1000 * BATCH / img_s, 1), "batch": BATCH,
         "spread": [round(min(rates), 2), round(max(rates), 2)],
+        "mfu": round(mfu, 4),
     }))
 
 
