@@ -421,3 +421,45 @@ def test_collate_masks_with_indices_static_budget():
         per = info.masks.sum(1).clip(min=1)
         np.testing.assert_allclose(
             info.weights[:n], (1.0 / per)[info.indices[:n] // 64], rtol=1e-6)
+
+
+def test_ibot_masked_loss_matches_torch_reference_formula():
+    """Independent torch oracle of the reference iBOTPatchLoss.forward_masked
+    pipeline (ibot_patch_loss.py:105-126 + the meta-arch's
+    ×loss_scales×ibot_loss_scale = ×1 net, ssl_meta_arch.py:154,323-335):
+        loss = Σ_masked (1/n_masked(sample)) · −⟨t, log_softmax(s/τ)⟩ / B2."""
+    rng = np.random.default_rng(21)
+    B, N, K = 6, 12, 24
+    temp = 0.1
+    s_full = rng.standard_normal((B, N, K)).astype(np.float32)
+    t_full = np.abs(rng.standard_normal((B, N, K))).astype(np.float32)
+    t_full /= t_full.sum(-1, keepdims=True)
+    masks = rng.uniform(size=(B, N)) > 0.6
+    masks[1] = False
+
+    # ---- torch side: index_select the masked rows, weight, divide by B ----
+    ms = torch.from_numpy(masks)
+    idx_t = ms.flatten().nonzero().flatten()
+    s_m = torch.index_select(torch.from_numpy(s_full).flatten(0, 1), 0, idx_t)
+    t_m = torch.index_select(torch.from_numpy(t_full).flatten(0, 1), 0, idx_t)
+    per = -(t_m * F.log_softmax(s_m / temp, dim=-1)).sum(-1)
+    mw = (1 / ms.sum(-1).clamp(min=1.0)).unsqueeze(-1).expand_as(ms)[ms]
+    want = (per * mw).sum().item() / B
+
+    # ---- ours, padded static budget ----
+    from adaptersis_tpu.ssl import ibot_patch_loss_masked
+
+    idx = np.zeros(idx_t.shape[0] + 6, np.int32)
+    w = np.zeros(idx_t.shape[0] + 6, np.float32)
+    idx[:idx_t.shape[0]] = idx_t.numpy()
+    per_sample = masks.sum(1).clip(min=1).astype(np.float32)
+    w[:idx_t.shape[0]] = (1.0 / per_sample)[idx[:idx_t.shape[0]] // N]
+    sg = jnp.take(jnp.asarray(s_full).reshape(-1, K), jnp.asarray(idx), axis=0)
+    tg = jnp.take(jnp.asarray(t_full).reshape(-1, K), jnp.asarray(idx), axis=0)
+    got = float(ibot_patch_loss_masked(sg, tg, jnp.asarray(w), B, temp))
+    assert abs(got - want) < 1e-5
+
+    # the full-tensor form must agree too (reference `forward` ≡ forward_masked)
+    got_full = float(ibot_patch_loss(jnp.asarray(s_full), jnp.asarray(t_full),
+                                     jnp.asarray(masks), temp))
+    assert abs(got_full - want) < 1e-5
