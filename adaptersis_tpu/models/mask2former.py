@@ -249,9 +249,28 @@ def _hungarian_host(cost: np.ndarray) -> np.ndarray:
 
 
 def hungarian_match(cost: jax.Array) -> jax.Array:
-    """(B, Q, K) cost → (B, 2, K) row/col assignment via host scipy
-    (assigner.py:46-157 uses scipy linear_sum_assignment as well)."""
+    """(B, Q, K) cost → (B, 2, K) row/col assignment, backend-dispatched.
+
+    On accelerators: the exact ON-DEVICE Jonker-Volgenant solver
+    (ops/hungarian.py) — jit-native, no host round trip per step, and the only
+    option on PJRT backends without host-callback support at all (this image's
+    axon TPU tunnel: "axon_pjrt does not support host send/recv callbacks").
+    On CPU: the reference's host scipy path (assigner.py:46-157), where the
+    callback is a native function call. Both produce the same total cost
+    (assignments can differ on exact ties only — ops/hungarian.py tests).
+    Override with ASN_M2F_DEVICE_HUNGARIAN=1 / ASN_M2F_HOST_HUNGARIAN=1."""
+    import os
+
+    from ..ops.hungarian import lapjv_impl
+
     B, Q, K = cost.shape
+    use_device = jax.default_backend() != "cpu"
+    if os.environ.get("ASN_M2F_DEVICE_HUNGARIAN", "0") == "1":
+        use_device = True
+    if os.environ.get("ASN_M2F_HOST_HUNGARIAN", "0") == "1" or K > Q:
+        use_device = False
+    if use_device:
+        return lapjv_impl(cost)
     return jax.pure_callback(
         _hungarian_host,
         jax.ShapeDtypeStruct((B, 2, min(Q, K)), jnp.int32),

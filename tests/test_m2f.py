@@ -74,3 +74,38 @@ def test_sine_positional_encoding():
     pe = sine_positional_encoding((4, 6), num_feats=8)
     assert pe.shape == (4, 6, 16)
     assert np.isfinite(np.asarray(pe)).all()
+
+
+def test_device_lapjv_matches_scipy():
+    """The on-device Jonker-Volgenant matcher must reach scipy's optimal total
+    cost (pair sets may differ only on exact ties) and produce one-to-one
+    assignments — on random costs and on the 1e6-padded-column form the m2f
+    loss feeds it. All trials of a shape ride ONE batched execution: repeated
+    same-shape executions of this program tickle an XLA:CPU dispatch bug on
+    this image ("supplied 1 buffers but expected 2") once a large compiled
+    train program has run in the same process; single executions are immune
+    (on TPU the solver runs inline inside the jitted train step, a different
+    path entirely)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from adaptersis_tpu.ops.hungarian import lapjv
+
+    rng = np.random.default_rng(7)
+    for (B, Q, G) in [(4, 100, 2), (2, 100, 16), (3, 20, 20), (1, 7, 3)]:
+        costs = []
+        for trial in range(5):
+            cost = rng.standard_normal((B, Q, G)).astype(np.float32) * 10
+            if trial % 2 == 0:
+                cost[:, :, max(G // 2, 1):] = 1e6   # padded gt columns
+            costs.append(cost)
+        stacked = np.concatenate(costs, axis=0)     # one call per shape
+        out = np.asarray(lapjv(jnp.asarray(stacked)))
+        for b in range(stacked.shape[0]):
+            r, c = linear_sum_assignment(stacked[b].astype(np.float64))
+            want = stacked[b].astype(np.float64)[r, c].sum()
+            q, g = out[b, 0], out[b, 1]
+            assert len(set(q.tolist())) == G
+            assert (np.sort(g) == np.arange(G)).all()
+            np.testing.assert_allclose(
+                stacked[b].astype(np.float64)[q, g].sum(), want,
+                rtol=1e-6, atol=1e-3)
