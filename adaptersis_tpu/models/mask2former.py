@@ -76,6 +76,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     num_encoder_layers: int = 6
     num_heads: int = 8
     n_points: int = 4
+    msda_impl: str = "gather"   # "pallas" = the Mosaic TPU kernel
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -105,6 +106,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             q = src + pos
             attn = MSDeformAttn(d_model=C, n_levels=len(shapes), n_heads=self.num_heads,
                                 n_points=self.n_points, dtype=self.dtype,
+                                impl=self.msda_impl,
                                 name=f"encoder_{li}_attn")(q, ref, src, shapes)
             src = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                name=f"encoder_{li}_norm1")(src + attn)
@@ -141,6 +143,7 @@ class Mask2FormerHead(nn.Module):
     feat_channels: int = 256
     num_decoder_layers: int = 9
     num_heads: int = 8
+    msda_impl: str = "gather"   # forwarded to the pixel decoder's encoder
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -148,7 +151,8 @@ class Mask2FormerHead(nn.Module):
         C = self.feat_channels
         B = feats[0].shape[0]
         mask_features, mems = MSDeformAttnPixelDecoder(
-            feat_channels=C, dtype=self.dtype, name="pixel_decoder")(feats, train)
+            feat_channels=C, dtype=self.dtype, msda_impl=self.msda_impl,
+            name="pixel_decoder")(feats, train)
 
         query_feat = self.param("query_feat", nn.initializers.normal(1.0),
                                 (self.num_queries, C), jnp.float32)

@@ -44,6 +44,9 @@ class ViTAdapter(nn.Module):
     add_vit_feature: bool = True
     use_extra_extractor: bool = True
     freeze_vit: bool = False
+    # deformable-attention impl for every injector/extractor (see
+    # ops/ms_deform_attn.MSDeformAttn.impl): "pallas" is the TPU fast path
+    msda_impl: str = "gather"
     dtype: Dtype = jnp.float32
 
     def _indexes(self):
@@ -79,10 +82,12 @@ class ViTAdapter(nn.Module):
             injector = CAViT(dim=E, num_heads=self.deform_num_heads,
                              n_points=self.n_points, n_levels=3,
                              init_values=self.init_values, dtype=self.dtype,
+                             msda_impl=self.msda_impl,
                              name=f"interactions_{i}_injector")
             extractor = CACNN(dim=E, num_heads=self.deform_num_heads,
                               n_points=self.n_points, n_levels=1,
                               cffn_ratio=self.cffn_ratio, dtype=self.dtype,
+                              msda_impl=self.msda_impl,
                               name=f"interactions_{i}_extractor")
             xt = injector(xt, ref1, c, shapes1)
             blk_in = jnp.concatenate([cls, xt], axis=1)
@@ -94,6 +99,7 @@ class ViTAdapter(nn.Module):
                     c = CACNN(dim=E, num_heads=self.deform_num_heads,
                               n_points=self.n_points, n_levels=1,
                               cffn_ratio=self.cffn_ratio, dtype=self.dtype,
+                              msda_impl=self.msda_impl,
                               name=f"extra_extractor_{j}")(
                         c, ref2, xt, shapes2, query_level_shapes=shapes1)
             outs.append(xt.reshape(B, hp, wp, E))

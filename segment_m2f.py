@@ -31,6 +31,10 @@ def get_args_parser():
     p.add_argument("--num_queries", default=100, type=int)
     p.add_argument("--feat_channels", default=256, type=int)
     p.add_argument("--num_decoder_layers", default=9, type=int)
+    p.add_argument("--msda_impl", default="gather",
+                   choices=["gather", "matmul", "pallas"],
+                   help="deformable-attention impl for adapter + pixel decoder"
+                        " (pallas = the Mosaic TPU kernel)")
     p.add_argument("--epochs", default=50, type=int)
     p.add_argument("--lr", default=1e-4, type=float)
     p.add_argument("--weight_decay", default=0.05, type=float)
@@ -68,11 +72,13 @@ def main(args):
         @nn.compact
         def __call__(self, x, train: bool = False):
             feats = ViTAdapter(backbone=self.backbone, freeze_vit=True,
+                               msda_impl=args.msda_impl,
                                name="adapter")(x, train=train)
             return Mask2FormerHead(
                 num_classes=args.num_classes, num_queries=args.num_queries,
                 feat_channels=args.feat_channels,
                 num_decoder_layers=args.num_decoder_layers, name="head",
+                msda_impl=args.msda_impl,
             )(feats, train=train)
 
     backbone = build_backbone(args.arch, img_size=518, patch_size=args.patch_size)

@@ -7,8 +7,9 @@ dinov2/eval/segmentation_m2f/*, trained end to end by segment_m2f.py).
 Measures segment_m2f.py's exact jitted train_step: frozen DINOv2 + ViTAdapter
 FPN -> Mask2FormerHead (100 queries, 9 decoder layers), Hungarian-matched
 class + point-sampled mask BCE + dice over all decoder layers, AdamW.
-Hungarian matching rides jax.pure_callback (host scipy) like the training
-surface. Prints one JSON line.
+Hungarian matching runs ON DEVICE (ops/hungarian.py LAPJV — the tunnel
+backend has no host callbacks); deformable attention defaults to the Mosaic
+kernel (ASN_M2F_MSDA=gather|matmul|pallas to A/B). Prints one JSON line.
 """
 import json
 import os
@@ -30,6 +31,7 @@ ARCH = os.environ.get("ASN_M2F_ARCH", "vit_large")
 BATCH = int(os.environ.get("ASN_M2F_BATCH", "4"))
 IMSIZE = int(os.environ.get("ASN_M2F_IMSIZE", "518"))
 NUM_CLASSES = 2
+MSDA_IMPL = os.environ.get("ASN_M2F_MSDA", "pallas")
 STEPS, REPEATS = 5, 3
 
 
@@ -53,9 +55,11 @@ def main():
         @nn.compact
         def __call__(self, x, train: bool = False):
             feats = ViTAdapter(backbone=self.backbone, freeze_vit=True,
+                               msda_impl=MSDA_IMPL,
                                dtype=jnp.bfloat16, name="adapter")(x, train=train)
             return Mask2FormerHead(num_classes=NUM_CLASSES, num_queries=100,
                                    feat_channels=256, num_decoder_layers=9,
+                                   msda_impl=MSDA_IMPL,
                                    dtype=jnp.bfloat16, name="head")(feats, train=train)
 
     model = Model(backbone=backbone)
@@ -114,6 +118,7 @@ def main():
         "value": round(img_s, 2), "unit": "img/s/chip",
         "ms_step": round(1000 * BATCH / img_s, 1), "batch": BATCH,
         "spread": [round(min(rates), 2), round(max(rates), 2)],
+        "msda_impl": MSDA_IMPL,
     }))
 
 
