@@ -1,38 +1,28 @@
 #!/usr/bin/env python
-"""On-chip throughput of the ViT-Adapter + Mask2Former TRAIN step — pins a
-perf number for the reference's segmentation_m2f tree (the third trainable
-stack next to the adapter-segmentor and SSL steps; reference architecture
-dinov2/eval/segmentation_m2f/*, trained end to end by segment_m2f.py).
-
-Measures segment_m2f.py's exact jitted train_step: frozen DINOv2 + ViTAdapter
-FPN -> Mask2FormerHead (100 queries, 9 decoder layers), Hungarian-matched
-class + point-sampled mask BCE + dice over all decoder layers, AdamW.
-Hungarian matching runs ON DEVICE (ops/hungarian.py LAPJV — the tunnel
-backend has no host callbacks); deformable attention defaults to the Mosaic
-kernel (ASN_M2F_MSDA=gather|matmul|pallas to A/B). Prints one JSON line.
-"""
-import json
+"""Profile the ViT-Adapter + Mask2Former train step (tools/bench_m2f_step.py
+config) and print top ops by device self-time."""
+import collections
 import os
+import re
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+import jax.numpy as jnp  # noqa: E402
 
 ARCH = os.environ.get("ASN_M2F_ARCH", "vit_large")
 BATCH = int(os.environ.get("ASN_M2F_BATCH", "4"))
 IMSIZE = int(os.environ.get("ASN_M2F_IMSIZE", "518"))
 NUM_CLASSES = 2
 MSDA_IMPL = os.environ.get("ASN_M2F_MSDA", "pallas")
-STEPS, REPEATS = 5, 3
 
 
 def main():
@@ -45,10 +35,6 @@ def main():
     from adaptersis_tpu.models.vit import build_backbone
     from adaptersis_tpu.models.vit_adapter import ViTAdapter
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-    # frozen-walk fast path, same rationale as bench.py: every backbone block
-    # here runs under stop_gradient (freeze_vit=True), so the fwd-only
-    # clamp-softmax flash kernel and the fused LN+QKV / LN+MLP kernels apply
     backbone = build_backbone(ARCH, img_size=518, patch_size=14,
                               attn_impl=os.environ.get("ASN_ATTN", "flash_fwd"),
                               gelu_approx=True,
@@ -77,8 +63,7 @@ def main():
     batch_stats = variables.get("batch_stats", {})
     tx = optax.adamw(1e-4, weight_decay=0.05)
     opt_state = tx.init(params)
-    max_seg = NUM_CLASSES
-    sem2inst = jax.vmap(lambda m: semantic_to_instances(m, NUM_CLASSES, max_seg))
+    sem2inst = jax.vmap(lambda m: semantic_to_instances(m, NUM_CLASSES, NUM_CLASSES))
 
     @jax.jit
     def train_step(params, batch_stats, opt_state, imgs_u8, masks, key):
@@ -101,7 +86,6 @@ def main():
         rr.integers(0, 256, (BATCH, IMSIZE, IMSIZE, 3), np.uint8)))
     masks = jax.device_put(jnp.asarray(
         (rr.uniform(size=(BATCH, IMSIZE, IMSIZE)) > 0.8).astype(np.int32)))
-
     key = jax.random.PRNGKey(1)
     for _ in range(2):
         key, k = jax.random.split(key)
@@ -109,24 +93,39 @@ def main():
             params, batch_stats, opt_state, imgs, masks, k)
         float(loss)
 
-    rates = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
+    trace_dir = "/tmp/asn_m2f_trace"
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
             key, k = jax.random.split(key)
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, imgs, masks, k)
         float(loss)
-        dt = time.perf_counter() - t0
-        rates.append(BATCH * STEPS / dt)
-    img_s = sorted(rates)[len(rates) // 2]
-    print(json.dumps({
-        "metric": f"{ARCH}_{IMSIZE}_vitadapter_m2f_train_images_per_sec_per_chip",
-        "value": round(img_s, 2), "unit": "img/s/chip",
-        "ms_step": round(1000 * BATCH / img_s, 1), "batch": BATCH,
-        "spread": [round(min(rates), 2), round(max(rates), 2)],
-        "msda_impl": MSDA_IMPL,
-    }))
+
+    pbs = sorted(Path(trace_dir).rglob("*.xplane.pb"), key=os.path.getmtime)
+    if not pbs:
+        print("no xplane captured")
+        return
+    pd = jax.profiler.ProfileData.from_serialized_xspace(pbs[-1].read_bytes())
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    total = 0.0
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            if "Ops" not in line.name:
+                continue
+            for ev in line.events:
+                dur = ev.duration_ns / 1e6
+                name = ev.name.split(" = ")[0].lstrip("%")
+                name = re.sub(r"[.\d]+$", "", name)
+                agg[name] += dur
+                cnt[name] += 1
+                total += dur
+    print(f"total device op time over 3 steps: {total:.1f} ms "
+          f"({total / 3:.1f} ms/step)  [async spans double-count]")
+    for name, ms in agg.most_common(40):
+        print(f"{ms / 3:9.2f} ms/step  x{cnt[name] // 3:<4d} {name}")
 
 
 if __name__ == "__main__":
