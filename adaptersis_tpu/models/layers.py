@@ -275,7 +275,13 @@ def _flash_block_sizes(np_len: int):
     # (B, H, N, 512) f32 score-shaped tensor per layer (profiled ~0.8 ms + HBM
     # each on the SSL step). ASN_FLASH_DQK A/Bs a narrower dq k-major tile.
     bkdq = int(os.environ.get("ASN_FLASH_DQK", "0")) or bb
-    bkdq = bkdq if np_len % bkdq == 0 else bb
+    # the override must (a) divide the padded length and (b) keep the minor
+    # block a DIVISOR of the major one — the library's dq kernel iterates
+    # block_k_major // block_k inner tiles, so e.g. major=896/minor=256 would
+    # silently accumulate only 768 of 896 kv positions into dq (it validates
+    # divisibility against kv_seq_len only, not major % minor)
+    if np_len % bkdq != 0 or (bkdq > bb and bkdq % bb != 0):
+        bkdq = bb
     return BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
                       block_q_major_dkv=bb, block_k_major_dkv=bb,
                       block_k_dkv=bb, block_q_dkv=bb,

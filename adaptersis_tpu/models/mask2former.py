@@ -272,6 +272,13 @@ def hungarian_match(cost: jax.Array) -> jax.Array:
     if os.environ.get("ASN_M2F_DEVICE_HUNGARIAN", "0") == "1":
         use_device = True
     if os.environ.get("ASN_M2F_HOST_HUNGARIAN", "0") == "1" or K > Q:
+        if use_device and K > Q and jax.default_backend() == "axon":
+            # fail actionably instead of the opaque runtime "axon_pjrt does
+            # not support host send/recv callbacks" the fallback would hit
+            raise ValueError(
+                f"hungarian_match: K={K} > Q={Q} needs the host scipy path, "
+                "which this TPU-tunnel backend cannot execute — raise "
+                "num_queries above the padded gt count")
         use_device = False
     if use_device:
         return lapjv_impl(cost)

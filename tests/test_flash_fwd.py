@@ -119,3 +119,22 @@ def test_library_flash_block_sizes_have_backward_blocks():
         for b in (bs.block_q, bs.block_k, bs.block_q_dq, bs.block_k_dq,
                   bs.block_q_dkv, bs.block_k_dkv):
             assert np_len % b == 0
+
+
+def test_flash_dqk_override_keeps_minor_dividing_major():
+    """ASN_FLASH_DQK must never yield block_k_dq that doesn't divide
+    block_k_major_dq — the library dq kernel iterates major//minor inner
+    tiles and would silently drop kv positions from the gradient."""
+    import os
+
+    from adaptersis_tpu.models.layers import _flash_block_sizes
+
+    for override in ("896", "384", "128", "999"):
+        os.environ["ASN_FLASH_DQK"] = override
+        try:
+            for np_len in (512, 1792, 1024):
+                bs = _flash_block_sizes(np_len)
+                assert bs.block_k_major_dq % bs.block_k_dq == 0
+                assert np_len % bs.block_k_major_dq == 0
+        finally:
+            del os.environ["ASN_FLASH_DQK"]
