@@ -36,6 +36,16 @@ STEPS, REPEATS = 5, 3
 
 
 def main():
+    # same pallas A/B knobs as bench.py
+    from adaptersis_tpu.ops import msda_pallas
+
+    msda_pallas.use_merged_bwd(os.environ.get("ASN_MERGED_MSDA", "1") != "0")
+    msda_pallas.use_uform_bwd(os.environ.get("ASN_MSDA_UFORM", "1") != "0")
+    msda_pallas.use_gather_bwd(os.environ.get("ASN_GATHER_BWD", "1") != "0")
+    if os.environ.get("ASN_GW_FWD"):
+        msda_pallas._GW_FWD = int(os.environ["ASN_GW_FWD"])
+        msda_pallas._plan.cache_clear()
+
     import optax
     from flax import linen as nn
 
