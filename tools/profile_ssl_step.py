@@ -69,31 +69,9 @@ def main():
             state, metrics = arch.train_step(state, g, l, masks, schedules, i)
         float(metrics["total_loss"])
 
-    pbs = sorted(Path(trace_dir).rglob("*.xplane.pb"), key=os.path.getmtime)
-    if not pbs:
-        print("no xplane captured (tunnel may not support device tracing)")
-        return
-    pd = jax.profiler.ProfileData.from_serialized_xspace(pbs[-1].read_bytes())
-    agg = collections.Counter()
-    cnt = collections.Counter()
-    total = 0.0
-    for plane in pd.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
-            continue
-        for line in plane.lines:
-            if "Ops" not in line.name:
-                continue
-            for ev in line.events:
-                dur = ev.duration_ns / 1e6
-                name = ev.name.split(" = ")[0].lstrip("%")
-                name = re.sub(r"[.\d]+$", "", name)
-                agg[name] += dur
-                cnt[name] += 1
-                total += dur
-    print(f"total device op time over 3 steps: {total:.1f} ms "
-          f"({total / 3:.1f} ms/step)  [async spans double-count]")
-    for name, ms in agg.most_common(45):
-        print(f"{ms / 3:9.2f} ms/step  x{cnt[name] // 3:<4d} {name}")
+    from _xplane import print_top_ops
+
+    print_top_ops(trace_dir, n_steps=3, top=45)
 
 
 if __name__ == "__main__":
